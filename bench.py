@@ -1,0 +1,96 @@
+"""Benchmark: pose-hypothesis scoring throughput (ICP + LCP) per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (the reference's hottest path, SURVEY.md section 3): H candidate
+poses of a dense model cloud scored against an observed segment - batched
+trimmed point-to-plane ICP refinement followed by weighted-LCP verification.
+The reference does this serially: per-transform kd-tree NN loops
+(match4pcsBase.cc:1699-1766) inside a 2 s/object budget; measured
+single-thread C++ kd-tree throughput on these cloud sizes is ~250
+hypotheses/sec (1M NN queries/sec over a 4096-point validation cloud), which
+is the vs_baseline denominator.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physimglobalpose_tpu.ops import icp, lcp
+
+BASELINE_HYPS_PER_SEC = 250.0  # single-thread C++ kd-tree verify (see docstring)
+
+H = 8192  # hypotheses per batch
+NV = 4096  # dense validation cloud (max_validation_points)
+NM = 1024  # sparse ICP model cloud (max_model_points)
+NS = 1024  # segment size (max_segment_points)
+ICP_ITERS = 10
+
+
+def make_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    model_v = rng.uniform(-0.06, 0.06, size=(NV, 3)).astype(np.float32)
+    nrm_v = rng.normal(size=(NV, 3)).astype(np.float32)
+    nrm_v /= np.linalg.norm(nrm_v, axis=1, keepdims=True)
+    model_m = model_v[:NM]
+    nrm_m = nrm_v[:NM]
+    seg = (model_v[:NS] + np.array([0.05, 0.0, 0.6], np.float32)).astype(np.float32)
+    seg_nrm = nrm_v[:NS]
+    seg_prob = rng.uniform(0.5, 1.0, size=NS).astype(np.float32)
+    seg_mask = np.ones(NS, bool)
+    # Hypotheses: random small perturbations around the true offset.
+    tfs = np.tile(np.eye(4, dtype=np.float32), (H, 1, 1))
+    tfs[:, :3, 3] = np.array([0.05, 0.0, 0.6]) + rng.normal(scale=0.01, size=(H, 3))
+    return (
+        jnp.asarray(tfs),
+        jnp.asarray(model_m), jnp.asarray(nrm_m),
+        jnp.asarray(model_v), jnp.asarray(nrm_v),
+        jnp.asarray(seg), jnp.asarray(seg_nrm),
+        jnp.asarray(seg_prob), jnp.asarray(seg_mask),
+    )
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    (tfs, model_m, nrm_m, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask) = make_inputs()
+
+    @jax.jit
+    def score_step(tfs):
+        refined = icp.refine_icp(
+            tfs, model_m, nrm_m, seg, seg_mask, iters=ICP_ITERS, point_to_plane=True
+        )
+        scores = lcp.lcp_scores(
+            refined, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask,
+            weighted=True, use_pallas=on_tpu,
+        )
+        return refined, scores
+
+    # Warm-up / compile.
+    refined, scores = score_step(tfs)
+    jax.block_until_ready(scores)
+
+    iters = 5 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        refined, scores = score_step(tfs)
+    jax.block_until_ready(scores)
+    dt = (time.perf_counter() - t0) / iters
+
+    hyps_per_sec = H / dt
+    print(
+        json.dumps(
+            {
+                "metric": "hypotheses_scored_per_sec_per_chip",
+                "value": round(hyps_per_sec, 1),
+                "unit": "hyp/s (ICP-10it@1k pts + weighted-LCP@4k pts, H=8192)",
+                "vs_baseline": round(hyps_per_sec / BASELINE_HYPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Typed configuration for the whole pipeline.
+
+The reference scatters its operating constants across hardcoded C++ literals
+(see e.g. reference super4pcs_test.cc:20-37, match4pcsBase.cc:290-304,
+UCTState.cpp:8-10, UCTSearch.cpp:10, PhySim.cpp:3). Here every knob lives in
+one frozen dataclass tree so a run is fully described by a single config
+value; defaults reproduce the reference's envelope.
+
+All dataclasses are hashable (frozen) so they can be passed as static
+arguments to jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """Depth/scene preprocessing knobs.
+
+    Mirrors: depth clip 0.1-2.0 m (utilities.cpp:144), scene voxel 5 mm
+    (SceneCfg.cpp:47-52), plane inlier 5 mm (SceneCfg.cpp:57-80), segment
+    voxel 1 cm + MLS radius 2 cm (Segmentation.cpp:234-246), outlier removal
+    3 cm / 10 neighbors and the 30-point bail (ObjectPoseCandidateSet.cpp:28-51).
+    """
+
+    depth_min: float = 0.1
+    depth_max: float = 2.0
+    scene_voxel: float = 0.005
+    plane_dist_threshold: float = 0.005
+    plane_ransac_iters: int = 256
+    segment_voxel: float = 0.01
+    normal_k: int = 16  # k-NN PCA normals (replaces reference MLS normals)
+    outlier_radius: float = 0.03
+    outlier_min_neighbors: int = 10
+    min_segment_points: int = 30
+    max_segment_points: int = 1024  # static-shape cap for a 3D segment
+    prob_scale: float = 10000.0  # 16-bit prob-image fixed-point scale
+    background_prob: float = 0.8  # FCN threshold mode background gate
+
+
+@dataclasses.dataclass(frozen=True)
+class StoCSConfig:
+    """Stochastic Congruent Sets hypothesis generation.
+
+    Mirrors: 100 bases / <=100 quads per base (match4pcsBase.cc:290-291,1858),
+    PPF discretization 5 mm / 10 deg (match4pcsBase.cc:303-304), delta 0.005
+    (super4pcs_test.cc:20), base-sampling gates (match4pcsBase.cc:600-792):
+    inner angle >= 30 deg for point 3, coplanarity 0.01, min spacing 0.01.
+    """
+
+    num_bases: int = 100
+    max_quads_per_base: int = 100
+    delta: float = 0.005
+    distance_factor: float = 2.0  # pair/invariant match radius multiplier
+    trans_disc_mm: int = 5
+    rot_disc_deg: int = 10
+    min_base_angle_deg: float = 30.0
+    coplanarity_threshold: float = 0.01
+    min_point_spacing: float = 0.01
+    # Static-shape caps for the TPU formulation:
+    max_pairs_per_ppf: int = 256  # pair-list cap per PPF bin (CSR row cap)
+    max_ppf_dist_mm: int = 640  # distance-feature range cap (bin count driver)
+    max_hypotheses: int = 4096  # global per-object hypothesis cap
+
+
+@dataclasses.dataclass(frozen=True)
+class LCPConfig:
+    """Largest-common-pointset verification.
+
+    Mirrors Verify/WeightedVerify (match4pcsBase.cc:1699-1766): inlier radius
+    delta=0.005, weighted mode gates on <30 deg normal agreement and
+    accumulates per-point segmentation probability.
+    """
+
+    delta: float = 0.005
+    normal_gate_deg: float = 30.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    """Batched fixed-iteration ICP refinement.
+
+    The reference refines via PCL TrimmedICP / point-to-plane
+    (utilities.cpp:651-739) post-hoc; here ICP is a first-class batched stage.
+    """
+
+    iters: int = 20
+    trim_fraction: float = 0.8  # keep this fraction of best correspondences
+    max_corr_dist: float = 0.02
+    point_to_plane: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Depth rendering + pixel cost.
+
+    Mirrors: 640x480 depth (camera.cpp:31), render clamp depth>1m to 0
+    (renderScene.cpp:70), 1 cm explanation threshold (UCTState.cpp:8).
+    """
+
+    width: int = 640
+    height: int = 480
+    max_render_depth: float = 1.0
+    explanation_threshold: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    """Vectorized rigid-body settle.
+
+    Mirrors Bullet usage (PhySim.cpp): gravity (0,0,-2), 60 steps at 1/60 s,
+    damping 0.99, friction 1.0, restitution 0, dynamic mass 10, table
+    half-extents (0.4, 0.4, 0.2).
+    """
+
+    gravity: float = -2.0
+    steps: int = 60
+    dt: float = 1.0 / 60.0
+    substeps: int = 4  # position-based solver substeps per step
+    damping: float = 0.99
+    friction: float = 1.0
+    restitution: float = 0.0
+    object_mass: float = 10.0
+    table_half_extents: Tuple[float, float, float] = (0.40, 0.40, 0.20)
+    contact_slop: float = 0.001
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTSConfig:
+    """UCT search over object placement orders.
+
+    Mirrors UCTSearch/UCTState: exploration alpha=5000 with a *minimizing*
+    UCB (UCTState.cpp:10,275-296), budget 60 s or sum_i 25^i expansions
+    (UCTSearch.cpp:10,286-307), trimmed-ICP point-removal radius 8 mm
+    (UCTState.cpp:9), branching cap 25 hypotheses per object.
+    """
+
+    alpha: float = 5000.0
+    max_search_seconds: float = 60.0
+    branching: int = 25
+    point_removal_threshold: float = 0.008
+    leaf_batch: int = 16  # leaves evaluated per device dispatch
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level pipeline configuration."""
+
+    preprocess: PreprocessConfig = PreprocessConfig()
+    stocs: StoCSConfig = StoCSConfig()
+    lcp: LCPConfig = LCPConfig()
+    icp: ICPConfig = ICPConfig()
+    render: RenderConfig = RenderConfig()
+    physics: PhysicsConfig = PhysicsConfig()
+    mcts: MCTSConfig = MCTSConfig()
+    # Model asset caps (static shapes).
+    max_model_points: int = 1024  # sampled model cloud (matching)
+    max_validation_points: int = 4096  # dense model cloud (LCP / render)
+    max_hull_points: int = 64  # convex hull vertices (physics / pose dist)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,243 @@
+"""FCN semantic segmentation model zoo (Flax) + sharded train/predict steps.
+
+Reference: fcn_segmentation_package/models.py defines four Keras models -
+FCN_Vgg16_32s (:41-92), AtrousFCN_Vgg16_16s (:93-144), FCN_Resnet50_32s
+(:145-189), AtrousFCN_Resnet50_16s (:190-227) - served at 640x640 with 12
+(APC) or 22 (YCB) classes by the `predict` ROS node, which normalizes each
+class probability map to max 1 and scales by 10000 into 16-bit PNGs
+(predict:64-155). The training loss ignores the last label
+(loss_function.py softmax_sparse_crossentropy_ignoring_last_label).
+
+TPU design: NHWC convs (XLA's native TPU layout), bfloat16 activations with
+f32 params, and explicit sharding hooks: batch ("data") parallelism plus
+tensor parallelism over the 4096-wide fc6/fc7 convs ("model" axis) - the
+only layers big enough to matter. Upsampling is jax.image bilinear resize
+(the reference's custom BilinearUpSampling layer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+from physimglobalpose_tpu import _jaxcfg  # noqa: F401  (platform/precision setup)
+import jax
+import jax.numpy as jnp
+import optax
+
+# ---------------------------------------------------------------- VGG16 FCNs
+
+
+class VGGBlock(nn.Module):
+    features: int
+    convs: int
+    prefix: str
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.convs):
+            x = nn.Conv(
+                self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                name=f"{self.prefix}_conv{i + 1}",
+            )(x)
+            x = nn.relu(x)
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class FCNVgg16(nn.Module):
+    """FCN_Vgg16_32s (stride=32) and AtrousFCN_Vgg16_16s (atrous fc6, stride=16).
+
+    Reference models.py:41-144.
+    """
+
+    num_classes: int
+    atrous: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[1], x.shape[2]
+        x = x.astype(self.dtype)
+        x = VGGBlock(64, 2, "block1", self.dtype)(x)
+        x = VGGBlock(128, 2, "block2", self.dtype)(x)
+        x = VGGBlock(256, 3, "block3", self.dtype)(x)
+        x = VGGBlock(512, 3, "block4", self.dtype)(x)
+        if self.atrous:
+            # 16s variant: no 5th pool stride; dilated fc6.
+            for i in range(3):
+                x = nn.relu(
+                    nn.Conv(512, (3, 3), padding="SAME", dtype=self.dtype,
+                            name=f"block5_conv{i + 1}")(x)
+                )
+            fc6 = nn.Conv(
+                4096, (7, 7), padding="SAME", kernel_dilation=(2, 2),
+                dtype=self.dtype, name="fc6",
+            )(x)
+        else:
+            x = VGGBlock(512, 3, "block5", self.dtype)(x)
+            fc6 = nn.Conv(4096, (7, 7), padding="SAME", dtype=self.dtype, name="fc6")(x)
+        # TP sharding hook: the 4096-wide activations split over "model".
+        fc6 = _maybe_shard(fc6, ("data", None, None, "model"))
+        x = nn.Dropout(0.5, deterministic=True)(nn.relu(fc6))
+        x = nn.Conv(4096, (1, 1), dtype=self.dtype, name="fc7")(x)
+        x = _maybe_shard(x, ("data", None, None, "model"))
+        x = nn.Dropout(0.5, deterministic=True)(nn.relu(x))
+        x = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32, name="score")(x)
+        return jax.image.resize(x, (x.shape[0], h, w, self.num_classes), "bilinear")
+
+
+# ---------------------------------------------------------------- ResNet50 FCNs
+
+
+class Bottleneck(nn.Module):
+    filters: int
+    stride: int = 1
+    dilation: int = 1
+    project: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.filters, (1, 1), strides=(self.stride, self.stride),
+                    dtype=self.dtype, use_bias=False)(x)
+        y = nn.relu(nn.GroupNorm(num_groups=32, dtype=jnp.float32)(y))
+        y = nn.Conv(self.filters, (3, 3), padding="SAME",
+                    kernel_dilation=(self.dilation, self.dilation),
+                    dtype=self.dtype, use_bias=False)(y)
+        y = nn.relu(nn.GroupNorm(num_groups=32, dtype=jnp.float32)(y))
+        y = nn.Conv(self.filters * 4, (1, 1), dtype=self.dtype, use_bias=False)(y)
+        y = nn.GroupNorm(num_groups=32, dtype=jnp.float32)(y)
+        if self.project or residual.shape[-1] != self.filters * 4 or self.stride != 1:
+            residual = nn.Conv(self.filters * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               dtype=self.dtype, use_bias=False)(x)
+            residual = nn.GroupNorm(num_groups=32, dtype=jnp.float32)(residual)
+        return nn.relu(y + residual)
+
+
+class FCNResnet50(nn.Module):
+    """FCN_Resnet50_32s and AtrousFCN_Resnet50_16s (reference models.py:145-227).
+
+    (GroupNorm replaces the reference's BatchNorm - batch-statistics-free and
+    shard-friendly; a documented deviation.)
+    """
+
+    num_classes: int
+    atrous: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h, w = x.shape[1], x.shape[2]
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype, use_bias=False)(x)
+        x = nn.relu(nn.GroupNorm(num_groups=32, dtype=jnp.float32)(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        stages = [(64, 3, 1, 1), (128, 4, 2, 1), (256, 6, 2, 1)]
+        if self.atrous:
+            stages.append((512, 3, 1, 2))  # dilated final stage, stride 16
+        else:
+            stages.append((512, 3, 2, 1))  # stride 32
+        for filters, blocks, stride, dilation in stages:
+            x = Bottleneck(filters, stride=stride, dilation=dilation,
+                           project=True, dtype=self.dtype)(x)
+            for _ in range(blocks - 1):
+                x = Bottleneck(filters, dilation=dilation, dtype=self.dtype)(x)
+        x = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32, name="score")(x)
+        return jax.image.resize(x, (x.shape[0], h, w, self.num_classes), "bilinear")
+
+
+MODEL_ZOO: dict[str, Callable[..., nn.Module]] = {
+    "FCN_Vgg16_32s": functools.partial(FCNVgg16, atrous=False),
+    "AtrousFCN_Vgg16_16s": functools.partial(FCNVgg16, atrous=True),
+    "FCN_Resnet50_32s": functools.partial(FCNResnet50, atrous=False),
+    "AtrousFCN_Resnet50_16s": functools.partial(FCNResnet50, atrous=True),
+}
+
+
+def build_model(name: str, num_classes: int) -> nn.Module:
+    return MODEL_ZOO[name](num_classes=num_classes)
+
+
+def _maybe_shard(x, spec: Sequence):
+    """Apply a sharding constraint when running under a mesh, no-op otherwise."""
+    try:
+        from jax.sharding import PartitionSpec as P
+
+        mesh = jax._src.mesh.thread_resources.env.physical_mesh
+        if mesh.empty:
+            return x
+        names = set(mesh.axis_names)
+        spec = tuple(s if (s in names) else None for s in spec)
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(mesh, P(*spec))
+        )
+    except Exception:
+        return x
+
+
+# ---------------------------------------------------------------- train/predict
+
+
+def softmax_xent_ignore_last(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Sparse softmax cross-entropy ignoring the last class label.
+
+    Reference loss_function.py: pixels labeled num_classes (the "ignore"
+    label) contribute nothing.
+    """
+    num_classes = logits.shape[-1]
+    valid = labels < num_classes
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def make_train_step(model: nn.Module, tx: optax.GradientTransformation):
+    """Returns a jittable (params, opt_state, batch) -> (params, opt_state, loss)."""
+
+    def loss_fn(params, images, labels):
+        logits = model.apply({"params": params}, images)
+        return softmax_xent_ignore_last(logits, labels)
+
+    def train_step(params, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, labels)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_predictor(model: nn.Module, params, class_ids, input_size=(640, 640)):
+    """Build an nn_predictor callable for pipeline/segmentation.py.
+
+    Matches the serving behavior of the reference `predict` node: pad to the
+    square input, softmax, per-class max-normalize (predict:107-117), crop.
+    """
+    import numpy as np
+
+    @jax.jit
+    def _run(img):
+        logits = model.apply({"params": params}, img[None])
+        return jax.nn.softmax(logits[0], axis=-1)
+
+    def predictor(color: "np.ndarray", wanted_ids):
+        h, w = color.shape[:2]
+        ph, pw = input_size
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[:h, :w] = color.astype(np.float32) / 255.0
+        probs = np.asarray(_run(jnp.asarray(padded)))[:h, :w]
+        out = {}
+        for c in wanted_ids:
+            p = probs[..., c]
+            m = p.max()
+            out[c] = (p / m if m > 0 else p).astype(np.float32)
+        return out
+
+    return predictor

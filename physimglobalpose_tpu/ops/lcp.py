@@ -1,0 +1,316 @@
+"""LCP / weighted-LCP verification: score H pose hypotheses in parallel.
+
+Reference semantics (match4pcsBase.cc:1699-1766):
+- Verify: fraction of (dense) model points whose transformed position has a
+  scene-segment point within delta (kd-tree NN query, radius delta).
+- WeightedVerify: same NN query, but a match only counts if the rotated model
+  normal agrees with the matched segment point's normal within 30 degrees
+  (folded: min(angle, |180-angle|)), and it contributes that segment point's
+  segmentation probability instead of 1. Score normalized by model size.
+
+TPU design: the kd-tree becomes a brute-force distance computation packed as
+one matmul per (hypothesis-tile, model-tile, segment-tile) — the 5-column
+homogeneous trick turns ||a-b||^2 into an exact matmul:
+  a' = [p, |p|^2, 1], b' = [-2q, 1, |q|^2]  =>  a' b'^T = ||p-q||^2.
+A Pallas kernel streams segment tiles through VMEM with running
+(min-distance, matched-prob, matched-normal-dot) state; the XLA fallback uses
+lax.map over hypothesis chunks. Thousands of hypotheses score in one launch —
+the reference's hottest serial loop (SURVEY.md section 3, hot loop #1).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+from physimglobalpose_tpu import _jaxcfg  # noqa: F401  (platform/precision setup)
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _apply_transforms(transforms: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """[H,4,4] x [N,3] -> [H,N,3]."""
+    return (
+        jnp.einsum("hij,nj->hni", transforms[:, :3, :3], pts)
+        + transforms[:, None, :3, 3]
+    )
+
+
+def lcp_scores_xla(
+    transforms: jnp.ndarray,
+    model_pts: jnp.ndarray,
+    model_nrm: jnp.ndarray,
+    seg_pts: jnp.ndarray,
+    seg_nrm: jnp.ndarray,
+    seg_prob: jnp.ndarray,
+    seg_mask: jnp.ndarray,
+    delta: float = 0.005,
+    normal_gate_deg: float = 30.0,
+    weighted: bool = True,
+    h_chunk: int = 8,
+) -> jnp.ndarray:
+    """Portable XLA implementation.
+
+    Args:
+      transforms: [H, 4, 4] model->scene candidate poses.
+      model_pts/model_nrm: [Nv, 3] dense validation cloud (+unit normals).
+      seg_pts/seg_nrm: [Ns, 3]; seg_prob/seg_mask: [Ns].
+    Returns:
+      scores [H]: weighted (or plain) LCP in [0, 1].
+    """
+    h = transforms.shape[0]
+    nv = model_pts.shape[0]
+    pad_h = (-h) % h_chunk
+    tr = jnp.concatenate(
+        [transforms, jnp.broadcast_to(jnp.eye(4), (pad_h, 4, 4))], axis=0
+    )
+    tr_chunks = tr.reshape(-1, h_chunk, 4, 4)
+
+    seg_sq = jnp.sum(seg_pts * seg_pts, axis=-1)
+    big = jnp.float32(1e9)
+    seg_sq_m = jnp.where(seg_mask, seg_sq, big)  # invalid segment pts never match
+    cos_gate = jnp.cos(jnp.deg2rad(normal_gate_deg))
+
+    def score_chunk(tc):
+        tm = _apply_transforms(tc, model_pts)  # [hc, Nv, 3]
+        tn = jnp.einsum("hij,nj->hni", tc[:, :3, :3], model_nrm)
+        d2 = (
+            jnp.sum(tm * tm, axis=-1)[..., None]
+            + seg_sq_m[None, None, :]
+            - 2.0 * jnp.einsum("hni,mi->hnm", tm, seg_pts)
+        )  # [hc, Nv, Ns]
+        nn = jnp.argmin(d2, axis=-1)  # [hc, Nv]
+        min_d2 = jnp.take_along_axis(d2, nn[..., None], axis=-1)[..., 0]
+        within = min_d2 <= delta * delta
+        if not weighted:
+            return jnp.sum(within, axis=-1) / nv
+        ndot = jnp.sum(tn * seg_nrm[nn], axis=-1)  # [hc, Nv]
+        # Reference folds the angle: min(angle, |180-angle|) < 30.
+        ngate = jnp.abs(ndot) >= cos_gate
+        contrib = jnp.where(within & ngate, seg_prob[nn], 0.0)
+        return jnp.sum(contrib, axis=-1) / nv
+
+    scores = jax.lax.map(score_chunk, tr_chunks).reshape(-1)
+    return scores[:h]
+
+
+def _lcp_kernel(
+    tr_ref,  # VMEM [TH, 128]: cols 0:12 = row-major (R | t) per hypothesis
+    model_ref,  # VMEM [Nv, 128]: cols 0:5 = (x, y, z, |m|^2, 1); cols 8:11 = normal
+    segcat_ref,  # VMEM [Ns, 128]: cols 0:3 pts, 3:6 nrm, 6 prob, 7 mask
+    out_ref,  # VMEM [TH, 128]: per-hypothesis score broadcast across the row
+    *,
+    ns_tile: int,
+    delta: float,
+    cos_gate: float,
+    weighted: bool,
+):
+    """TH hypotheses per grid program (TH = sublane tile, 8).
+
+    The squared distance ||R m + t - s||^2 is rewritten as
+    |m|^2 + |s - t|^2 - 2 m . (R^T (s - t)): only the (small) segment tile is
+    transformed per hypothesis, and both the distance and the normal-dot
+    reduce to [Nv, 128] @ [128, tile] matmuls. K is zero-padded to the MXU's
+    native 128 - free, since the MXU processes K=128 per pass regardless.
+    """
+    nv = model_ref.shape[0]
+    th = tr_ref.shape[0]
+    big = jnp.float32(1e9)
+
+    a_pos = model_ref[:, :]  # [Nv, 128] - b's zero lanes mask the unused cols
+
+    def one_hypothesis(hi):
+        # Transform scalars (column k of R = row k of R^T = B).
+        r = [tr_ref[hi, k] for k in range(12)]
+        r00, r01, r02, t0 = r[0], r[1], r[2], r[3]
+        r10, r11, r12, t1 = r[4], r[5], r[6], r[7]
+        r20, r21, r22, t2 = r[8], r[9], r[10], r[11]
+
+        return _score_one(
+            a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv,
+            (r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2),
+        )
+
+    for hi in range(th):  # static unroll over the sublane tile
+        score = one_hypothesis(hi)
+        out_ref[hi : hi + 1, :] = jnp.full((1, 128), score, jnp.float32)
+
+
+def _score_one(a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv, scal):
+    (r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2) = scal
+    ns = segcat_ref.shape[0]
+
+    def seg_tile(si, carry):
+        run_min, run_prob, run_dot = carry  # [Nv, 1] each
+        rows = pl.ds(si * ns_tile, ns_tile)
+        sx = segcat_ref[rows, 0:1]  # [tile, 1]
+        sy = segcat_ref[rows, 1:2]
+        sz = segcat_ref[rows, 2:3]
+        nx = segcat_ref[rows, 3:4]
+        ny = segcat_ref[rows, 4:5]
+        nz = segcat_ref[rows, 5:6]
+        sprob = segcat_ref[rows, 6:7]
+        smask = segcat_ref[rows, 7:8]
+
+        dx = sx - t0
+        dy = sy - t1
+        dz = sz - t2
+        # q = R^T (s - t)
+        qx = r00 * dx + r10 * dy + r20 * dz
+        qy = r01 * dx + r11 * dy + r21 * dz
+        qz = r02 * dx + r12 * dy + r22 * dz
+        c = dx * dx + dy * dy + dz * dz
+        c = jnp.where(smask > 0.5, c, big)  # invalid segment points never match
+        # bn = R^T sn
+        bnx = r00 * nx + r10 * ny + r20 * nz
+        bny = r01 * nx + r11 * ny + r21 * nz
+        bnz = r02 * nx + r12 * ny + r22 * nz
+
+        zeros_tail = jnp.zeros((ns_tile, 128 - 11), jnp.float32)
+        zeros_gap = jnp.zeros((ns_tile, 3), jnp.float32)
+        ones = jnp.ones((ns_tile, 1), jnp.float32)
+        # b1 matches model cols 0:5; b2 matches model cols 8:11.
+        b1 = jnp.concatenate(
+            [-2.0 * qx, -2.0 * qy, -2.0 * qz, ones, c,
+             zeros_gap, jnp.zeros((ns_tile, 3), jnp.float32), zeros_tail],
+            axis=1,
+        )  # [tile, 128]
+        b2 = jnp.concatenate(
+            [jnp.zeros((ns_tile, 8), jnp.float32), bnx, bny, bnz, zeros_tail],
+            axis=1,
+        )
+        d2 = jax.lax.dot_general(
+            a_pos, b1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Nv, tile]
+        ndot = jax.lax.dot_general(
+            a_pos, b2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        tile_min = jnp.min(d2, axis=-1, keepdims=True)  # [Nv, 1]
+        is_best = d2 <= tile_min
+        prob_row = jnp.broadcast_to(sprob[:, 0][None, :], d2.shape)
+        tile_prob = jnp.max(jnp.where(is_best, prob_row, -1.0), axis=-1, keepdims=True)
+        tile_dot = jnp.max(jnp.where(is_best, jnp.abs(ndot), -1.0), axis=-1, keepdims=True)
+        better = tile_min < run_min
+        return (
+            jnp.where(better, tile_min, run_min),
+            jnp.where(better, tile_prob, run_prob),
+            jnp.where(better, tile_dot, run_dot),
+        )
+
+    init = (
+        jnp.full((nv, 1), big, jnp.float32),
+        jnp.zeros((nv, 1), jnp.float32),
+        jnp.zeros((nv, 1), jnp.float32),
+    )
+    run_min, run_prob, run_dot = jax.lax.fori_loop(0, ns // ns_tile, seg_tile, init)
+    within = run_min <= delta * delta
+    if weighted:
+        contrib = jnp.where(within & (run_dot >= cos_gate), run_prob, 0.0)
+    else:
+        contrib = within.astype(jnp.float32)
+    return jnp.sum(contrib) / nv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("delta", "normal_gate_deg", "weighted", "h_tile", "ns_tile")
+)
+def lcp_scores_pallas(
+    transforms: jnp.ndarray,
+    model_pts: jnp.ndarray,
+    model_nrm: jnp.ndarray,
+    seg_pts: jnp.ndarray,
+    seg_nrm: jnp.ndarray,
+    seg_prob: jnp.ndarray,
+    seg_mask: jnp.ndarray,
+    delta: float = 0.005,
+    normal_gate_deg: float = 30.0,
+    weighted: bool = True,
+    h_tile: int = 128,
+    ns_tile: int = 256,
+) -> jnp.ndarray:
+    """Pallas TPU kernel: grid over hypothesis tiles, segment tiles stream
+    through VMEM with running NN state. Falls back on identical math to
+    lcp_scores_xla (tested for equivalence)."""
+    h = transforms.shape[0]
+    nv = model_pts.shape[0]
+    ns = seg_pts.shape[0]
+    pad_ns = (-ns) % ns_tile
+    h_tile = 8  # sublane tile: 8 hypotheses per grid program
+    pad_h = (-h) % h_tile
+
+    tr16 = jnp.concatenate(
+        [transforms, jnp.broadcast_to(jnp.eye(4), (pad_h, 4, 4))], axis=0
+    ).reshape(-1, 16)
+    tr = jnp.zeros((tr16.shape[0], 128), jnp.float32).at[:, 0:12].set(tr16[:, 0:12])
+    # Model pack: cols 0:5 = (x, y, z, |m|^2, 1) for the distance matmul,
+    # cols 8:11 = normal for the normal-agreement matmul.
+    modelcat = jnp.zeros((nv, 128), jnp.float32)
+    modelcat = (
+        modelcat.at[:, 0:3].set(model_pts)
+        .at[:, 3].set(jnp.sum(model_pts * model_pts, axis=-1))
+        .at[:, 4].set(1.0)
+        .at[:, 8:11].set(model_nrm)
+    )
+    segcat = jnp.zeros((ns + pad_ns, 128), jnp.float32)
+    segcat = (
+        segcat.at[:ns, 0:3]
+        .set(seg_pts)
+        .at[:ns, 3:6]
+        .set(seg_nrm)
+        .at[:ns, 6]
+        .set(seg_prob)
+        .at[:ns, 7]
+        .set(seg_mask.astype(jnp.float32))
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _lcp_kernel,
+            ns_tile=min(ns_tile, ns + pad_ns),
+            delta=delta,
+            cos_gate=math.cos(math.radians(normal_gate_deg)),
+            weighted=weighted,
+        ),
+        out_shape=jax.ShapeDtypeStruct((h + pad_h, 128), jnp.float32),
+        grid=((h + pad_h) // h_tile,),
+        in_specs=[
+            pl.BlockSpec((h_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns + pad_ns, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((h_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )(tr, modelcat, segcat)
+    return out[:h, 0]
+
+
+def lcp_scores(
+    transforms,
+    model_pts,
+    model_nrm,
+    seg_pts,
+    seg_nrm,
+    seg_prob,
+    seg_mask,
+    delta: float = 0.005,
+    normal_gate_deg: float = 30.0,
+    weighted: bool = True,
+    use_pallas: bool | None = None,
+):
+    """Dispatch: Pallas on TPU, XLA elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fn = lcp_scores_pallas if use_pallas else lcp_scores_xla
+    return fn(
+        transforms,
+        model_pts,
+        model_nrm,
+        seg_pts,
+        seg_nrm,
+        seg_prob,
+        seg_mask,
+        delta=delta,
+        normal_gate_deg=normal_gate_deg,
+        weighted=weighted,
+    )

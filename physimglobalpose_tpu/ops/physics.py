@@ -1,0 +1,247 @@
+"""Vectorized rigid-body settle: the TPU replacement for Bullet.
+
+Reference (PhySim.cpp): a btDiscreteDynamicsWorld with gravity (0,0,-2), a
+static table box (half extents 0.4x0.4x0.2), convex-hull collision shapes,
+damping 0.99, friction 1.0, restitution 0; each MCTS node places previously
+decided objects as static (mass 0), the new object dynamic (mass 10), steps
+60x at 1/60 s and reads back the settled pose (UCTState::correctPhysics).
+
+TPU design: position-based dynamics (PBD). Contacts are convex vertex-face:
+object hull vertices against the table's top face and against other objects'
+hull half-space planes — all contact candidates evaluated densely with masks
+(fixed shapes), no broadphase. The whole settle is one lax.fori_loop, vmapped
+over a batch of scenes/hypotheses: thousands of 60-step settles run in one
+device launch vs one serial Bullet world in the reference.
+
+State layout (per scene): K bodies x (quat wxyz [4], pos [3], linvel [3],
+angvel [3]). Static bodies have inv_mass 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+from physimglobalpose_tpu import _jaxcfg  # noqa: F401  (platform/precision setup)
+import jax
+import jax.numpy as jnp
+
+from physimglobalpose_tpu.geometry import se3
+
+
+class PhysicsScene(NamedTuple):
+    """Static (per-batch-constant) physics inputs for K bodies."""
+
+    hull_pts: jnp.ndarray  # [K, P, 3] object-local hull vertices
+    hull_mask: jnp.ndarray  # [K, P]
+    hull_eqs: jnp.ndarray  # [K, F, 4] object-local hull face planes
+    inv_mass: jnp.ndarray  # [K] 0 for static
+    inv_inertia: jnp.ndarray  # [K, 3] diagonal body-frame inverse inertia
+    table_pose: jnp.ndarray  # [4, 4] world
+    table_half_extents: jnp.ndarray  # [3]
+
+
+def box_inv_inertia(hull_pts: jnp.ndarray, hull_mask: jnp.ndarray, mass: float) -> jnp.ndarray:
+    """Diagonal inverse inertia of the hull's AABB as a solid box."""
+    big = 1e9
+    lo = jnp.min(jnp.where(hull_mask[:, None], hull_pts, big), axis=0)
+    hi = jnp.max(jnp.where(hull_mask[:, None], hull_pts, -big), axis=0)
+    ext = jnp.maximum(hi - lo, 1e-3)
+    ixx = mass / 12.0 * (ext[1] ** 2 + ext[2] ** 2)
+    iyy = mass / 12.0 * (ext[0] ** 2 + ext[2] ** 2)
+    izz = mass / 12.0 * (ext[0] ** 2 + ext[1] ** 2)
+    return 1.0 / jnp.stack([ixx, iyy, izz])
+
+
+def _quat_mul(a, b):
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def _integrate_quat(q, omega, dt):
+    """q' = q + dt/2 * (0, omega) * q, renormalized."""
+    oq = jnp.concatenate([jnp.zeros_like(omega[..., :1]), omega], axis=-1)
+    dq = 0.5 * dt * _quat_mul(oq, q)
+    q2 = q + dq
+    return q2 / jnp.maximum(jnp.linalg.norm(q2, axis=-1, keepdims=True), 1e-12)
+
+
+def _apply_contact(pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth, active):
+    """Positional contact resolution at world point pos+r with normal n.
+
+    Pushes the body along n by depth (single-body vs static other side).
+    Returns updated (pos, quat, linvel, angvel) with friction damping on the
+    contact-point velocity.
+    """
+    rot = se3.quat_to_matrix(quat)  # [3,3]
+    inv_i_world = rot @ jnp.diag(inv_inertia) @ rot.T
+    rxn = jnp.cross(r, n)
+    w = inv_mass + rxn @ inv_i_world @ rxn
+    lam = jnp.where(active & (w > 0), depth / jnp.maximum(w, 1e-9), 0.0)
+    p = lam * n
+    new_pos = pos + p * inv_mass
+    dw = inv_i_world @ jnp.cross(r, p)
+    new_quat = _integrate_quat(quat, dw, 1.0)
+    # Kill the normal-inward contact-point velocity (restitution 0) and damp
+    # tangential velocity (friction ~ 1.0).
+    v_pt = linvel + jnp.cross(angvel, r)
+    vn = jnp.dot(v_pt, n)
+    v_norm_fix = jnp.where(active & (vn < 0), -vn, 0.0) * n
+    v_tan = v_pt - jnp.dot(v_pt, n) * n
+    v_tan_fix = jnp.where(active, -0.8 * v_tan, jnp.zeros(3))
+    dv = v_norm_fix + v_tan_fix
+    new_linvel = linvel + jnp.where(inv_mass > 0, dv, jnp.zeros(3))
+    new_angvel = angvel + jnp.where(
+        inv_mass > 0, inv_i_world @ jnp.cross(r, dv) * 0.5, jnp.zeros(3)
+    )
+    use = active & (inv_mass > 0)
+    return (
+        jnp.where(use, new_pos, pos),
+        jnp.where(use, new_quat, quat),
+        jnp.where(use, new_linvel, linvel),
+        jnp.where(use, new_angvel, angvel),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "substeps", "dt", "gravity", "damping"))
+def settle(
+    scene: PhysicsScene,
+    init_quat: jnp.ndarray,  # [K, 4] world
+    init_pos: jnp.ndarray,  # [K, 3] world
+    steps: int = 60,
+    substeps: int = 2,
+    dt: float = 1.0 / 60.0,
+    gravity: float = -2.0,
+    damping: float = 0.99,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Settle K bodies; returns (quat [K, 4], pos [K, 3])."""
+    k, p_max = scene.hull_pts.shape[:2]
+    g = jnp.array([0.0, 0.0, gravity])
+    h = dt / substeps
+
+    t_inv = se3.invert_pose(scene.table_pose)
+    top = scene.table_half_extents[2]
+    foot = scene.table_half_extents[:2]
+
+    def table_contact(quat_i, pos_i, hull_i, mask_i):
+        """Deepest hull-vertex contact with the table top face (local frame)."""
+        rot = se3.quat_to_matrix(quat_i)
+        world = hull_i @ rot.T + pos_i  # [P, 3]
+        local = world @ t_inv[:3, :3].T + t_inv[:3, 3]
+        in_foot = (jnp.abs(local[:, 0]) <= foot[0]) & (jnp.abs(local[:, 1]) <= foot[1])
+        depth = top - local[:, 2]  # >0 below the top surface
+        pen = jnp.where(mask_i & in_foot & (depth > 0) & (depth < 2 * top), depth, -1.0)
+        best = jnp.argmax(pen)
+        n_world = scene.table_pose[:3, :3] @ jnp.array([0.0, 0.0, 1.0])
+        r = world[best] - pos_i
+        return r, n_world, pen[best], pen[best] > 0
+
+    def body_body_contact(quat_a, pos_a, hull_a, mask_a, quat_b, pos_b, eqs_b):
+        """Deepest vertex (of a) vs face (of b) contact; normal pushes a out of b."""
+        rot_a = se3.quat_to_matrix(quat_a)
+        world_a = hull_a @ rot_a.T + pos_a  # [P, 3]
+        rot_b = se3.quat_to_matrix(quat_b)
+        local = (world_a - pos_b) @ rot_b  # into b's frame
+        sd = local @ eqs_b[:, :3].T + eqs_b[:, 3][None, :]  # [P, F] signed dist
+        inside_depth = -jnp.max(sd, axis=1)  # >0 when inside hull b
+        face = jnp.argmax(sd, axis=1)  # closest face per point
+        pen = jnp.where(mask_a & (inside_depth > 0), inside_depth, -1.0)
+        best = jnp.argmax(pen)
+        n_local = eqs_b[face[best], :3]
+        n_world = rot_b @ n_local  # outward from b = push direction for a
+        r = world_a[best] - pos_a
+        return r, n_world, pen[best], pen[best] > 0
+
+    def substep(state):
+        quat, pos, linvel, angvel = state
+        linvel = linvel + jnp.where(
+            (scene.inv_mass > 0)[:, None], g[None, :] * h, jnp.zeros(3)
+        )
+        pos = pos + linvel * h
+        quat = _integrate_quat(quat, angvel * h, 1.0)
+
+        # Table contacts for every body. (_apply_contact returns (pos, quat, ...).)
+        def solve_table_fixed(i, st):
+            q_, p_, lv_, av_ = st
+            r, n, depth, act = table_contact(
+                q_[i], p_[i], scene.hull_pts[i], scene.hull_mask[i]
+            )
+            new_pos, new_quat, nlv, nav = _apply_contact(
+                p_[i], q_[i], lv_[i], av_[i],
+                scene.inv_mass[i], scene.inv_inertia[i], r, n, depth, act,
+            )
+            return (
+                q_.at[i].set(new_quat),
+                p_.at[i].set(new_pos),
+                lv_.at[i].set(nlv),
+                av_.at[i].set(nav),
+            )
+
+        quat, pos, linvel, angvel = jax.lax.fori_loop(
+            0, k, solve_table_fixed, (quat, pos, linvel, angvel)
+        )
+
+        # Pairwise contacts: push dynamic body a out of every other body b.
+        def solve_pair(idx, st):
+            q_, p_, lv_, av_ = st
+            a = idx // k
+            b = idx % k
+            r, n, depth, act = body_body_contact(
+                q_[a], p_[a], scene.hull_pts[a], scene.hull_mask[a],
+                q_[b], p_[b], scene.hull_eqs[b],
+            )
+            act = act & (a != b)
+            new_pos, new_quat, nlv, nav = _apply_contact(
+                p_[a], q_[a], lv_[a], av_[a],
+                scene.inv_mass[a], scene.inv_inertia[a], r, n, depth, act,
+            )
+            return (
+                q_.at[a].set(new_quat),
+                p_.at[a].set(new_pos),
+                lv_.at[a].set(nlv),
+                av_.at[a].set(nav),
+            )
+
+        quat, pos, linvel, angvel = jax.lax.fori_loop(
+            0, k * k, solve_pair, (quat, pos, linvel, angvel)
+        )
+
+        linvel = linvel * damping
+        angvel = angvel * damping
+        return quat, pos, linvel, angvel
+
+    def step(_, state):
+        return jax.lax.fori_loop(0, substeps, lambda __, s: substep(s), state)
+
+    init = (
+        init_quat,
+        init_pos,
+        jnp.zeros((k, 3)),
+        jnp.zeros((k, 3)),
+    )
+    quat, pos, _, _ = jax.lax.fori_loop(0, steps, step, init)
+    return quat, pos
+
+
+def settle_batch(scene: PhysicsScene, init_quat: jnp.ndarray, init_pos: jnp.ndarray, **kw):
+    """vmap over a leading batch dim of initial poses: [B, K, 4], [B, K, 3]."""
+    return jax.vmap(lambda q, p: settle(scene, q, p, **kw))(init_quat, init_pos)
+
+
+def settle_poses(
+    scene: PhysicsScene, poses_world: jnp.ndarray, **kw
+) -> jnp.ndarray:
+    """Convenience: [K, 4, 4] world poses in -> settled [K, 4, 4] out."""
+    quat = se3.matrix_to_quat(poses_world[:, :3, :3])
+    pos = poses_world[:, :3, 3]
+    q2, p2 = settle(scene, quat, pos, **kw)
+    return se3.pose_from_rot_trans(se3.quat_to_matrix(q2), p2)

@@ -1,0 +1,175 @@
+"""Public API: estimate_pose — the /pose_estimation service contract.
+
+Reference: the ROS service EstimateObjectPose.srv takes (OperationMode,
+SceneFiles, SegmentationMode, HypothesisGenerationMode,
+HypothesisVerificationMode) and returns per-object label+pose, also writing
+result.txt (main.cpp:86-171, srv/EstimateObjectPose.srv:1-8). Here the same
+contract is a plain function: scene dir in, per-object camera- and
+world-frame poses out, result.txt in the reference's format.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional
+
+from physimglobalpose_tpu import _jaxcfg  # noqa: F401  (platform/precision setup)
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physimglobalpose_tpu.config import PipelineConfig, DEFAULT_CONFIG
+from physimglobalpose_tpu.geometry import se3
+from physimglobalpose_tpu.models.objectdb import ObjectDB
+from physimglobalpose_tpu.pipeline import hypothesis, scene as scene_mod, segmentation
+from physimglobalpose_tpu.pipeline.selection import lcp_select
+from physimglobalpose_tpu.utils.tracing import trace_span, get_tracer
+
+
+@dataclasses.dataclass
+class ObjectPoseEstimate:
+    name: str
+    pose_cam: np.ndarray  # [4, 4] object pose in camera frame
+    pose_world: np.ndarray  # [4, 4]
+    score: float
+    hypotheses: Optional[np.ndarray] = None  # [K, 4, 4] top-k (camera frame)
+    hypothesis_scores: Optional[np.ndarray] = None  # [K]
+
+
+@dataclasses.dataclass
+class PoseEstimationResult:
+    objects: List[ObjectPoseEstimate]
+    timings: Dict[str, float]
+
+    def pose_of(self, name: str) -> ObjectPoseEstimate:
+        return next(o for o in self.objects if o.name == name)
+
+
+def write_result_txt(path: str, result: PoseEstimationResult) -> None:
+    """result.txt in the reference format: 'name trans... quat(x y z w)' rows.
+
+    (main.cpp:150-166 writes name, translation, quaternion per object.)
+    """
+    with open(path, "w") as fh:
+        for obj in result.objects:
+            pose = obj.pose_world
+            q = np.asarray(se3.matrix_to_quat(jnp.asarray(pose[:3, :3])))
+            t = pose[:3, 3]
+            fh.write(
+                f"{obj.name} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n"
+            )
+
+
+def estimate_pose(
+    scene_dir: str,
+    db: ObjectDB,
+    dataset: str = "APC",
+    segmentation_mode: str = "GT",
+    hypothesis_mode: str = "PCS",
+    verification_mode: str = "LCP",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+    nn_predictor=None,
+    detector=None,
+    top_k: int = 25,
+    write_result: bool = True,
+    result_path: Optional[str] = None,
+) -> PoseEstimationResult:
+    """Estimate 6D poses for every object in a scene.
+
+    Mirrors estimatePose (main.cpp:86-171): load scene -> remove table ->
+    segment -> per-object hypothesis generation -> selection -> world frame.
+    """
+    tracer = get_tracer()
+    timings: Dict[str, float] = {}
+    t0 = time.perf_counter()
+
+    with trace_span(tracer, "load_scene"):
+        sc = scene_mod.load_scene(scene_dir, dataset=dataset)
+    key = jax.random.key(seed)
+
+    with trace_span(tracer, "remove_table"):
+        k_table, key = jax.random.split(key)
+        depth_clean, _plane, table_pose = scene_mod.remove_table(
+            jnp.asarray(sc.depth), jnp.asarray(sc.intrinsics), k_table, cfg
+        )
+    timings["preprocess_s"] = time.perf_counter() - t0
+
+    with trace_span(tracer, "segmentation"):
+        class_ids = [db.class_of(n) for n in sc.object_names]
+        prob_images = segmentation.build_prob_images(
+            segmentation_mode,
+            class_ids,
+            class_mask=sc.class_mask,
+            nn_predictor=nn_predictor,
+            color=sc.color,
+            detector=detector,
+            threshold=cfg.preprocess.background_prob,
+        )
+
+    intr = jnp.asarray(sc.intrinsics)
+    estimates: List[ObjectPoseEstimate] = []
+    t_hyp = time.perf_counter()
+    for name in sc.object_names:
+        obj = db[name]
+        with trace_span(tracer, f"object:{name}"):
+            k_seg, k_hyp, key = jax.random.split(key, 3)
+            prob = jnp.asarray(prob_images[obj.class_id])
+            seg = segmentation.compute_3d_segment(depth_clean, prob, intr, k_seg, cfg)
+            if hypothesis_mode not in ("PCS", "CONGRUENT_SET_MATCHING"):
+                raise ValueError(f"unknown hypothesis mode {hypothesis_mode!r}")
+            res = hypothesis.generate_hypotheses(
+                k_hyp,
+                seg,
+                jnp.asarray(obj.search_pts),
+                jnp.asarray(obj.search_mask),
+                obj.ppf_table,
+                jnp.asarray(obj.validation_pts),
+                jnp.asarray(obj.validation_nrm),
+                cfg,
+            )
+            top_tf, top_scores = hypothesis.top_k_hypotheses(res, top_k)
+            pose_cam = np.asarray(lcp_select(res.best_transform, res.best_score))
+            pose_world = np.asarray(se3.to_world(jnp.asarray(pose_cam), jnp.asarray(sc.cam_pose)))
+            estimates.append(
+                ObjectPoseEstimate(
+                    name=name,
+                    pose_cam=pose_cam,
+                    pose_world=pose_world,
+                    score=float(res.best_score),
+                    hypotheses=np.asarray(top_tf),
+                    hypothesis_scores=np.asarray(top_scores),
+                )
+            )
+    timings["hypothesis_s"] = time.perf_counter() - t_hyp
+
+    if verification_mode == "MCTS":
+        from physimglobalpose_tpu.pipeline.mcts import mcts_select
+
+        t_mcts = time.perf_counter()
+        with trace_span(tracer, "mcts"):
+            estimates = mcts_select(
+                estimates, sc, db, np.asarray(table_pose), depth_clean, cfg, seed=seed
+            )
+        timings["mcts_s"] = time.perf_counter() - t_mcts
+    elif verification_mode != "LCP":
+        raise ValueError(f"unknown verification mode {verification_mode!r}")
+
+    timings["total_s"] = time.perf_counter() - t0
+    result = PoseEstimationResult(objects=estimates, timings=timings)
+    if write_result:
+        if result_path is None:
+            # Prefer the scene directory (the reference writes result.txt next
+            # to the frames, main.cpp:160-165); fall back to the cwd when the
+            # scene is read-only.
+            result_path = (
+                os.path.join(scene_dir, "result.txt")
+                if os.access(scene_dir, os.W_OK)
+                else os.path.abspath("result.txt")
+            )
+        write_result_txt(result_path, result)
+        timings["result_path"] = result_path
+    return result

@@ -1,0 +1,134 @@
+"""Hypothesis generation: the fused StoCS pipeline for one object.
+
+Reference flow (CongruentSetMatching::generate + Perform_N_steps,
+ObjectPoseCandidateSet.cpp:23-70, match4pcsBase.cc:1822-1925): sample 100
+bases, extract congruent sets per base (<=100 each), fit a rigid transform
+per congruent quad, score every transform with weighted LCP, keep the best
+and the improving-prefix set.
+
+TPU design: one jitted function runs base sampling, congruent extraction,
+B*Q rigid fits and H-way LCP scoring as a single device program — no disk
+round-trips (the reference exchanges PLY files with its .so,
+ObjectPoseCandidateSet.cpp:53-68), no per-base loops on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+from physimglobalpose_tpu import _jaxcfg  # noqa: F401  (platform/precision setup)
+import jax
+import jax.numpy as jnp
+
+from physimglobalpose_tpu.config import PipelineConfig, DEFAULT_CONFIG
+from physimglobalpose_tpu.models.objectdb import ObjectModel
+from physimglobalpose_tpu.ops import congruent, lcp, ppf
+from physimglobalpose_tpu.ops import sampling
+from physimglobalpose_tpu.pipeline.segmentation import Segment3D
+
+
+class HypothesisResult(NamedTuple):
+    transforms: jnp.ndarray  # [H, 4, 4]
+    scores: jnp.ndarray  # [H] weighted LCP (0 for invalid)
+    valid: jnp.ndarray  # [H] bool
+    best_transform: jnp.ndarray  # [4, 4]
+    best_score: jnp.ndarray  # []
+    enough_points: jnp.ndarray  # [] bool - segment had >= 30 points
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_bases", "use_pallas"),
+)
+def generate_hypotheses(
+    key: jax.Array,
+    seg: Segment3D,
+    model_search_pts: jnp.ndarray,  # [Nm, 3] (padded)
+    model_search_mask: jnp.ndarray,  # [Nm]
+    table: ppf.PPFTable,
+    model_validation_pts: jnp.ndarray,  # [Nv, 3]
+    model_validation_nrm: jnp.ndarray,  # [Nv, 3]
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    num_bases: int | None = None,
+    use_pallas: bool | None = None,
+) -> HypothesisResult:
+    """Full StoCS generation + LCP verification for one object segment."""
+    st = cfg.stocs
+    b = num_bases or st.num_bases
+    k_base, k_quad = jax.random.split(key)
+
+    # Degenerate-segment bail (ObjectPoseCandidateSet.cpp:34-37: <= 30 pts ->
+    # identity pose). We still run the kernels (static shapes) but zero the
+    # validity so the caller falls back to identity.
+    enough = jnp.sum(seg.mask) > cfg.preprocess.min_segment_points
+
+    bases = sampling.sample_bases(
+        k_base,
+        seg.pts,
+        seg.nrm,
+        seg.prob,
+        seg.mask,
+        table,
+        num_bases=b,
+        min_base_angle_deg=st.min_base_angle_deg,
+        coplanarity_threshold=st.coplanarity_threshold,
+        min_point_spacing=st.min_point_spacing,
+    )
+
+    quads, quads_valid = congruent.extract_congruent_quads(
+        bases,
+        seg.pts,
+        seg.nrm,
+        model_search_pts,
+        table,
+        k_quad,
+        max_pairs=st.max_pairs_per_ppf,
+        max_quads_per_base=st.max_quads_per_base,
+        dist_threshold=st.distance_factor * st.delta,
+    )
+    # Congruent pairs referencing padded model rows are invalid.
+    quad_rows_ok = jnp.all(model_search_mask[quads], axis=-1)
+    quads_valid = quads_valid & quad_rows_ok
+
+    hyps = congruent.hypotheses_from_quads(
+        bases, quads, quads_valid, seg.pts, model_search_pts
+    )
+
+    scores = lcp.lcp_scores(
+        hyps.transforms,
+        model_validation_pts,
+        model_validation_nrm,
+        seg.pts,
+        seg.nrm,
+        seg.prob,
+        seg.mask,
+        delta=cfg.lcp.delta,
+        normal_gate_deg=cfg.lcp.normal_gate_deg,
+        weighted=True,
+        use_pallas=use_pallas,
+    )
+    valid = hyps.valid & enough
+    scores = jnp.where(valid, scores, 0.0)
+    best = jnp.argmax(scores)
+    best_score = scores[best]
+    best_tf = jnp.where(best_score > 0, hyps.transforms[best], jnp.eye(4))
+    return HypothesisResult(
+        transforms=hyps.transforms,
+        scores=scores,
+        valid=valid,
+        best_transform=best_tf,
+        best_score=best_score,
+        enough_points=enough,
+    )
+
+
+def top_k_hypotheses(result: HypothesisResult, k: int):
+    """The k best-scoring hypotheses (the MCTS branching set).
+
+    Replaces the reference's improving-prefix bookkeeping
+    (match4pcsBase.cc:1885-1914) with an explicit top-k — a superset of the
+    improving prefix, and deterministic.
+    """
+    scores, idx = jax.lax.top_k(result.scores, k)
+    return result.transforms[idx], scores

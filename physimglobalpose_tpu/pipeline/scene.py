@@ -1,0 +1,124 @@
+"""Scene loading + table removal.
+
+Reference: SceneCfg and its APC/YCB subclasses (SceneCfg.cpp:162-252) read
+frame-000000.{color,depth}.png + gt_info.yml (camera pose/intrinsics, object
+list); removeTable (SceneCfg.cpp:38-82) plane-fits the support surface and
+zeroes its depth pixels. Here the scene is a host-side dataclass of numpy
+arrays; the table removal is one jitted function (backproject -> voxel
+downsample -> RANSAC plane -> depth zeroing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, List, Optional
+
+from physimglobalpose_tpu import _jaxcfg  # noqa: F401  (platform/precision setup)
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from physimglobalpose_tpu.config import PipelineConfig, DEFAULT_CONFIG
+from physimglobalpose_tpu.geometry import depthio, pointcloud, se3
+from physimglobalpose_tpu.ops import plane, voxel
+
+
+@dataclasses.dataclass
+class Scene:
+    scene_dir: str
+    dataset: str  # "APC" | "YCB"
+    color: np.ndarray  # [H, W, 3] uint8
+    depth: np.ndarray  # [H, W] float32 meters (raw, table not removed)
+    intrinsics: np.ndarray  # [3, 3]
+    cam_pose: np.ndarray  # [4, 4] camera-to-world
+    object_names: List[str]
+    class_mask: Optional[np.ndarray] = None  # [H, W] int32 GT class ids
+    table_pose: Optional[np.ndarray] = None  # [4, 4] from gt_info rest_surface
+    dependency_order: Optional[list] = None
+    gt_poses: Optional[Dict[str, np.ndarray]] = None
+
+
+def _pose_from_tq(vals) -> np.ndarray:
+    """gt_info.yml pose format: [x y z qw qx qy qz] (gt_info.yml:1)."""
+    t = np.asarray(vals[:3], np.float32)
+    q = np.asarray(vals[3:7], np.float32)
+    return np.asarray(se3.pose_from_quat_trans(jnp.asarray(q), jnp.asarray(t)))
+
+
+def load_scene(scene_dir: str, dataset: str = "APC", frame: str = "frame-000000") -> Scene:
+    """Load a reference-layout scene directory."""
+    with open(os.path.join(scene_dir, "gt_info.yml")) as fh:
+        info = yaml.safe_load(fh)
+    cam = info["camera"]
+    intr = np.asarray(cam["camera_intrinsics"], np.float32)
+    cam_pose = _pose_from_tq(cam["camera_pose"])
+    color = depthio.read_color_png(os.path.join(scene_dir, f"{frame}.color.png"))
+    depth = depthio.read_depth_png(
+        os.path.join(scene_dir, f"{frame}.depth.png"), bit_rotated=(dataset == "APC")
+    )
+    mask_path = os.path.join(scene_dir, f"{frame}.mask.png")
+    class_mask = depthio.read_class_mask_png(mask_path) if os.path.exists(mask_path) else None
+
+    sc = info.get("scene", {})
+    n_obj = int(sc.get("num_objects", 0))
+    names = [sc[f"object_{i}"]["name"] for i in range(1, n_obj + 1)]
+    gt_poses = None
+    if n_obj and "pose" in sc.get("object_1", {}):
+        gt_poses = {
+            sc[f"object_{i}"]["name"]: _pose_from_tq(sc[f"object_{i}"]["pose"])
+            for i in range(1, n_obj + 1)
+        }
+
+    table_pose = None
+    rest = info.get("rest_surface")
+    if rest and "surface_pose" in rest:
+        table_pose = _pose_from_tq(rest["surface_pose"])
+
+    return Scene(
+        scene_dir=scene_dir,
+        dataset=dataset,
+        color=color,
+        depth=depth,
+        intrinsics=intr,
+        cam_pose=cam_pose,
+        object_names=names,
+        class_mask=class_mask,
+        table_pose=table_pose,
+        dependency_order=sc.get("dependency_order"),
+        gt_poses=gt_poses,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def remove_table(
+    depth: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    key: jax.Array,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused table removal (SceneCfg.cpp:38-82 semantics).
+
+    Returns (cleaned depth [H, W], plane [4], table_pose [4, 4]).
+    """
+    pre = cfg.preprocess
+    pts, valid = pointcloud.backproject(depth, intrinsics, pre.depth_min, pre.depth_max)
+    flat_pts = pts.reshape(-1, 3)
+    flat_valid = valid.reshape(-1)
+    # 5 mm voxel thinning before the plane fit (SceneCfg.cpp:47-52).
+    k1, k2 = jax.random.split(key)
+    sub, sub_mask = pointcloud.compact_masked_points(flat_pts, flat_valid, 16384, k1)
+    vox, vox_mask, _ = voxel.voxel_downsample(sub, sub_mask, pre.scene_voxel, 8192)
+    pl4, inliers = plane.fit_plane_ransac(
+        vox, vox_mask, k2, threshold=pre.plane_dist_threshold, iters=pre.plane_ransac_iters
+    )
+    # Orient the plane normal toward the camera (-z side) for a stable frame.
+    pl4 = jnp.where(pl4[2] > 0, -pl4, pl4)
+    cleaned = plane.remove_table_depth(depth, pts, valid, pl4, pre.plane_dist_threshold)
+    anchor = jnp.sum(jnp.where(inliers[:, None], vox, 0.0), axis=0) / jnp.maximum(
+        jnp.sum(inliers), 1
+    )
+    tpose = plane.table_pose_from_plane(pl4, anchor)
+    return cleaned, pl4, tpose

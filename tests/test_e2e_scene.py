@@ -1,0 +1,89 @@
+"""End-to-end acceptance test on the reference's bundled test scene.
+
+Mirrors the reference demo invocation `rosservice call /pose_estimation
+"APC" <scene> "GT" "PCS" "LCP"` (README.md:30) using GT masks - no neural
+nets - and checks that each recovered pose puts the object model on top of
+its observed 3D segment.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from physimglobalpose_tpu.config import (
+    PipelineConfig, PreprocessConfig, StoCSConfig,
+)
+from physimglobalpose_tpu.models import objectdb
+from physimglobalpose_tpu.pipeline import api, scene as scene_mod
+
+SCENE = "/root/reference/test-scene"
+MODELS = "/root/reference/src/physim_pose_estimation/models_visualization"
+OBJ_CFG = "/root/reference/src/physim_pose_estimation/src/data_layer/obj_config.yml"
+
+SMALL_CFG = PipelineConfig(
+    preprocess=PreprocessConfig(max_segment_points=512),
+    stocs=StoCSConfig(num_bases=48, max_quads_per_base=32, max_pairs_per_ppf=128),
+    max_model_points=512,
+    max_validation_points=1024,
+)
+
+
+@pytest.fixture(scope="module")
+def db():
+    return objectdb.load_object_db(
+        OBJ_CFG, MODELS, config=SMALL_CFG, cache_dir="/tmp/ppf_cache",
+        only=["kleenex_tissue_box", "expo_dry_erase_board_eraser",
+              "folgers_classic_roast_coffee"],
+    )
+
+
+def test_scene_loads():
+    sc = scene_mod.load_scene(SCENE, dataset="APC")
+    assert sc.depth.shape == (480, 640)
+    assert sc.object_names == [
+        "kleenex_tissue_box", "expo_dry_erase_board_eraser",
+        "folgers_classic_roast_coffee",
+    ]
+    assert sc.class_mask is not None
+    assert sc.intrinsics[0, 0] > 500
+
+
+def test_estimate_pose_gt_pcs_lcp(db, tmp_path):
+    result = api.estimate_pose(
+        SCENE, db, dataset="APC",
+        segmentation_mode="GT", hypothesis_mode="PCS", verification_mode="LCP",
+        cfg=SMALL_CFG, seed=0, write_result=False,
+    )
+    assert len(result.objects) == 3
+    sc = scene_mod.load_scene(SCENE, dataset="APC")
+
+    from physimglobalpose_tpu.geometry import pointcloud
+    from physimglobalpose_tpu.pipeline import segmentation
+
+    for est in result.objects:
+        assert est.score > 0.05, f"{est.name} got no good hypothesis"
+        # The transformed model centroid should land near the object's
+        # observed segment centroid.
+        obj = db[est.name]
+        cls = obj.class_id
+        prob = (sc.class_mask == cls).astype(np.float32)
+        pts, _, mask = pointcloud.crop_segment(
+            jnp.asarray(sc.depth), jnp.asarray(prob), jnp.asarray(sc.intrinsics),
+            max_points=2048,
+        )
+        seg_centroid = np.asarray(pts)[np.asarray(mask)].mean(axis=0)
+        model_centroid = (
+            obj.validation_pts.mean(axis=0) @ est.pose_cam[:3, :3].T + est.pose_cam[:3, 3]
+        )
+        dist = np.linalg.norm(model_centroid - seg_centroid)
+        assert dist < 0.10, f"{est.name}: centroid off by {dist:.3f} m"
+
+    # result.txt round-trip in the reference format.
+    out = tmp_path / "result.txt"
+    api.write_result_txt(str(out), result)
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 3
+    assert lines[0].split()[0] == "kleenex_tissue_box"
+    assert len(lines[0].split()) == 8

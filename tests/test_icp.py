@@ -1,0 +1,108 @@
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from physimglobalpose_tpu.ops import icp
+
+
+def make_case(rng, n_model=300, n_seg=200, perturb_deg=8.0, perturb_t=0.015):
+    # Ellipsoid surface with true outward normals (meaningful for pt-to-plane).
+    d = rng.normal(size=(n_model, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    radii = np.array([0.08, 0.05, 0.03])
+    model = (d * radii).astype(np.float32)
+    g = model / radii**2  # ellipsoid gradient = normal direction
+    mnrm = (g / np.linalg.norm(g, axis=1, keepdims=True)).astype(np.float32)
+    true_rot = Rotation.from_euler("xyz", [30, -10, 50], degrees=True).as_matrix()
+    true_t = np.array([0.1, 0.0, 0.5])
+    idx = rng.choice(n_model, n_seg, replace=False)
+    seg = (model[idx] @ true_rot.T + true_t).astype(np.float32)
+    true_pose = np.eye(4, dtype=np.float32)
+    true_pose[:3, :3] = true_rot
+    true_pose[:3, 3] = true_t
+    # Perturbed initial pose.
+    drot = Rotation.from_euler("xyz", rng.uniform(-perturb_deg, perturb_deg, 3), degrees=True).as_matrix()
+    init = true_pose.copy()
+    init[:3, :3] = drot @ true_pose[:3, :3]
+    init[:3, 3] += rng.uniform(-perturb_t, perturb_t, 3)
+    return model, mnrm, seg, true_pose, init.astype(np.float32)
+
+
+def check_alignment(pose, true_pose, model, tol=0.003):
+    a = model @ pose[:3, :3].T + pose[:3, 3]
+    b = model @ true_pose[:3, :3].T + true_pose[:3, 3]
+    return np.mean(np.linalg.norm(a - b, axis=1)) < tol
+
+
+def test_point_to_plane_converges(rng):
+    model, mnrm, seg, true_pose, init = make_case(rng, perturb_deg=5, perturb_t=0.01)
+    mask = np.ones(len(seg), bool)
+    out = np.asarray(
+        icp.refine_icp(
+            jnp.asarray(init)[None], jnp.asarray(model), jnp.asarray(mnrm),
+            jnp.asarray(seg), jnp.asarray(mask), iters=25, point_to_plane=True,
+        )
+    )[0]
+    assert check_alignment(out, true_pose, model)
+
+
+def test_point_to_point_converges(rng):
+    model, mnrm, seg, true_pose, init = make_case(rng, perturb_deg=5, perturb_t=0.01)
+    mask = np.ones(len(seg), bool)
+    out = np.asarray(
+        icp.refine_icp(
+            jnp.asarray(init)[None], jnp.asarray(model), jnp.asarray(mnrm),
+            jnp.asarray(seg), jnp.asarray(mask), iters=25, point_to_plane=False,
+        )
+    )[0]
+    assert check_alignment(out, true_pose, model)
+
+
+def test_batched_refinement(rng):
+    model, mnrm, seg, true_pose, _ = make_case(rng)
+    mask = np.ones(len(seg), bool)
+    inits = []
+    for s in range(4):
+        r2 = np.random.default_rng(s + 10)
+        drot = Rotation.from_euler("xyz", r2.uniform(-6, 6, 3), degrees=True).as_matrix()
+        ini = true_pose.copy()
+        ini[:3, :3] = drot @ true_pose[:3, :3]
+        ini[:3, 3] += r2.uniform(-0.01, 0.01, 3)
+        inits.append(ini)
+    out = np.asarray(
+        icp.refine_icp(
+            jnp.asarray(np.stack(inits).astype(np.float32)),
+            jnp.asarray(model), jnp.asarray(mnrm),
+            jnp.asarray(seg), jnp.asarray(mask), iters=25, point_to_plane=False,
+        )
+    )
+    for o in out:
+        assert check_alignment(o, true_pose, model)
+
+
+def test_trimming_survives_outliers(rng):
+    model, mnrm, seg, true_pose, init = make_case(rng, perturb_deg=4, perturb_t=0.008)
+    clutter = rng.uniform(-0.3, 0.3, size=(60, 3)).astype(np.float32) + true_pose[:3, 3]
+    seg_all = np.concatenate([seg, clutter])
+    mask = np.ones(len(seg_all), bool)
+    out = np.asarray(
+        icp.refine_icp(
+            jnp.asarray(init)[None], jnp.asarray(model), jnp.asarray(mnrm),
+            jnp.asarray(seg_all), jnp.asarray(mask),
+            iters=25, trim_fraction=0.7, point_to_plane=False,
+        )
+    )[0]
+    assert check_alignment(out, true_pose, model, tol=0.004)
+
+
+def test_fitness(rng):
+    model, mnrm, seg, true_pose, init = make_case(rng)
+    mask = np.ones(len(seg), bool)
+    fits = np.asarray(
+        icp.icp_fitness(
+            jnp.asarray(np.stack([true_pose, np.eye(4, dtype=np.float32)])),
+            jnp.asarray(model), jnp.asarray(seg), jnp.asarray(mask),
+        )
+    )
+    assert fits[0] > 0.9
+    assert fits[1] < 0.2

@@ -1,0 +1,117 @@
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial import cKDTree
+from scipy.spatial.transform import Rotation
+
+from physimglobalpose_tpu.ops import lcp
+
+
+def oracle_weighted_lcp(transform, model_pts, model_nrm, seg_pts, seg_nrm, seg_prob,
+                        delta=0.005, gate_deg=30.0):
+    # Re-derivation of WeightedVerify (match4pcsBase.cc:1733-1766) with scipy kd-tree.
+    tree = cKDTree(seg_pts)
+    tm = model_pts @ transform[:3, :3].T + transform[:3, 3]
+    tn = model_nrm @ transform[:3, :3].T
+    score = 0.0
+    for i in range(len(tm)):
+        d, j = tree.query(tm[i])
+        if d <= delta:
+            c = abs(np.dot(tn[i], seg_nrm[j]))
+            ang = np.degrees(np.arccos(np.clip(np.dot(tn[i], seg_nrm[j]), -1, 1)))
+            ang = min(ang, abs(180 - ang))
+            if ang < gate_deg:
+                score += seg_prob[j]
+    return score / len(tm)
+
+
+def make_scene(rng, n_model=200, n_seg=150):
+    model = rng.uniform(-0.05, 0.05, size=(n_model, 3)).astype(np.float32)
+    mn = rng.normal(size=(n_model, 3))
+    mn = (mn / np.linalg.norm(mn, axis=1, keepdims=True)).astype(np.float32)
+    rot = Rotation.from_euler("xyz", [10, 20, 30], degrees=True).as_matrix().astype(np.float32)
+    t = np.array([0.05, -0.03, 0.6], np.float32)
+    # Segment = transformed subset of the model + noise + clutter.
+    idx = rng.choice(n_model, size=n_seg - 30, replace=False)
+    seg = model[idx] @ rot.T + t + rng.normal(scale=0.001, size=(n_seg - 30, 3))
+    clutter = rng.uniform(-0.2, 0.2, size=(30, 3)) + t
+    seg_pts = np.concatenate([seg, clutter]).astype(np.float32)
+    seg_nrm = np.concatenate([mn[idx] @ rot.T, rng.normal(size=(30, 3))])
+    seg_nrm = (seg_nrm / np.linalg.norm(seg_nrm, axis=1, keepdims=True)).astype(np.float32)
+    seg_prob = rng.uniform(0.5, 1.0, size=(n_seg,)).astype(np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = rot
+    pose[:3, 3] = t
+    return model, mn, seg_pts, seg_nrm, seg_prob, pose
+
+
+def test_xla_matches_oracle(rng):
+    model, mn, seg_pts, seg_nrm, seg_prob, pose = make_scene(rng)
+    bad = np.eye(4, dtype=np.float32)
+    bad[:3, 3] = [1.0, 1.0, 1.0]
+    transforms = np.stack([pose, bad])
+    mask = np.ones(len(seg_pts), bool)
+    got = np.asarray(
+        lcp.lcp_scores_xla(
+            jnp.asarray(transforms), jnp.asarray(model), jnp.asarray(mn),
+            jnp.asarray(seg_pts), jnp.asarray(seg_nrm), jnp.asarray(seg_prob),
+            jnp.asarray(mask), delta=0.005, weighted=True,
+        )
+    )
+    want0 = oracle_weighted_lcp(pose, model, mn, seg_pts, seg_nrm, seg_prob)
+    np.testing.assert_allclose(got[0], want0, atol=5e-3)
+    assert got[1] < 0.01
+    assert got[0] > 0.3  # true pose explains most of the model subset
+
+
+def test_unweighted_counts(rng):
+    model, mn, seg_pts, seg_nrm, seg_prob, pose = make_scene(rng)
+    mask = np.ones(len(seg_pts), bool)
+    got = float(
+        lcp.lcp_scores_xla(
+            jnp.asarray(pose)[None], jnp.asarray(model), jnp.asarray(mn),
+            jnp.asarray(seg_pts), jnp.asarray(seg_nrm), jnp.asarray(seg_prob),
+            jnp.asarray(mask), weighted=False,
+        )[0]
+    )
+    tree = cKDTree(seg_pts)
+    tm = model @ pose[:3, :3].T + pose[:3, 3]
+    d, _ = tree.query(tm)
+    want = (d <= 0.005).mean()
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_segment_mask_respected(rng):
+    model, mn, seg_pts, seg_nrm, seg_prob, pose = make_scene(rng)
+    mask = np.zeros(len(seg_pts), bool)  # all invalid -> zero score
+    got = float(
+        lcp.lcp_scores_xla(
+            jnp.asarray(pose)[None], jnp.asarray(model), jnp.asarray(mn),
+            jnp.asarray(seg_pts), jnp.asarray(seg_nrm), jnp.asarray(seg_prob),
+            jnp.asarray(mask), weighted=True,
+        )[0]
+    )
+    assert got == 0.0
+
+
+def test_pallas_interpret_matches_xla(rng):
+    # Run the pallas kernel in interpreter mode on CPU and compare to XLA.
+    import functools
+    from unittest import mock
+
+    model, mn, seg_pts, seg_nrm, seg_prob, pose = make_scene(rng, n_model=64, n_seg=128)
+    mask = np.ones(len(seg_pts), bool)
+    args = (
+        jnp.asarray(np.stack([pose, np.eye(4, dtype=np.float32)])),
+        jnp.asarray(model), jnp.asarray(mn), jnp.asarray(seg_pts),
+        jnp.asarray(seg_nrm), jnp.asarray(seg_prob), jnp.asarray(mask),
+    )
+    want = np.asarray(lcp.lcp_scores_xla(*args))
+    import jax
+    from jax.experimental import pallas as pl
+
+    orig_call = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig_call, interpret=True)):
+        got = np.asarray(
+            lcp.lcp_scores_pallas.__wrapped__(*args, h_tile=2, ns_tile=64)
+        )
+    np.testing.assert_allclose(got, want, atol=1e-4)

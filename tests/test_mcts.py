@@ -1,0 +1,109 @@
+"""MCTS controller tests on a tiny synthetic scene.
+
+One box object observed at a known pose: the search must pick the hypothesis
+whose render matches the observed depth, not the higher-LCP decoy."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from physimglobalpose_tpu.config import (
+    MCTSConfig, PhysicsConfig, PipelineConfig, RenderConfig,
+)
+from physimglobalpose_tpu.geometry import se3
+from physimglobalpose_tpu.ops import raster
+from physimglobalpose_tpu.pipeline import mcts
+
+K_INTR = np.array([[300.0, 0, 80], [0, 300.0, 60], [0, 0, 1]], dtype=np.float32)
+H, W = 120, 160
+
+
+def box_cloud(n=600, size=0.06, seed=0):
+    rng = np.random.default_rng(seed)
+    faces = rng.integers(0, 6, n)
+    u, v = rng.uniform(-0.5, 0.5, (2, n))
+    pts = np.zeros((n, 3), np.float32)
+    for i, f in enumerate(faces):
+        ax, sign = f // 2, 1 if f % 2 == 0 else -1
+        dims = [d for d in range(3) if d != ax]
+        pts[i, ax] = sign * size / 2
+        pts[i, dims[0]] = u[i] * size
+        pts[i, dims[1]] = v[i] * size
+    return pts
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = PipelineConfig(
+        render=RenderConfig(width=W, height=H),
+        physics=PhysicsConfig(steps=30),
+        mcts=MCTSConfig(leaf_batch=4, branching=3, max_search_seconds=30.0),
+    )
+    cloud = box_cloud()
+    cam_pose = np.eye(4, dtype=np.float32)  # world == camera
+    # Table top at z=0.8 in camera frame... keep gravity pointing -z (world).
+    table_pose = np.eye(4, dtype=np.float32)
+    table_pose[2, 3] = 1.06  # box rests ON TOP face at z = 1.06 - 0.2 = 0.86...
+
+    # Simpler: gravity is -z; put the table top at z = 0.86, the box at 0.89.
+    true_pose = np.eye(4, dtype=np.float32)
+    true_pose[:3, 3] = [0.0, 0.0, 0.89]
+
+    obs = np.asarray(
+        raster.render_object_depth(
+            jnp.asarray(true_pose), jnp.asarray(cloud), jnp.ones(len(cloud), bool),
+            jnp.asarray(K_INTR), H, W, radius=1,
+        )
+    )
+    hull_pts = box_cloud(n=16, seed=1)
+    sx = 0.03
+    eqs = np.array(
+        [[1, 0, 0, -sx], [-1, 0, 0, -sx], [0, 1, 0, -sx],
+         [0, -1, 0, -sx], [0, 0, 1, -sx], [0, 0, -1, -sx]], np.float32,
+    )
+    hull_eqs = np.tile(np.array([0, 0, 1, -1e9], np.float32), (96, 1))
+    hull_eqs[:6] = eqs
+    obj = dict(
+        hull_pts=np.array(
+            [[x, y, z] for x in (-sx, sx) for y in (-sx, sx) for z in (-sx, sx)],
+            np.float32,
+        ),
+        hull_mask=np.ones(8, bool),
+        hull_eqs=hull_eqs,
+        render_pts=cloud,
+        render_mask=np.ones(len(cloud), bool),
+    )
+    return cfg, obj, obs, true_pose, table_pose, cam_pose
+
+
+def test_evaluator_prefers_true_pose(setup):
+    cfg, obj, obs, true_pose, table_pose, cam_pose = setup
+    wrong = true_pose.copy()
+    wrong[:3, 3] = [0.06, 0.04, 0.89]
+    hyps = np.stack([true_pose, wrong])[None]  # [K=1, C=2, 4, 4]
+    ev = mcts.BatchedLeafEvaluator(
+        [obj], hyps, obs, K_INTR, cam_pose, table_pose, cfg, render_scale=1
+    )
+    choices = np.array([[0], [1]])
+    active = np.ones((2, 1), bool)
+    costs, settled = ev.evaluate(choices, active)
+    assert costs[0] < costs[1]
+    # Settled pose of the true hypothesis stays near the initial pose.
+    assert np.linalg.norm(settled[0, 0][:3, 3] - true_pose[:3, 3]) < 0.04
+
+
+def test_uct_search_picks_matching_hypothesis(setup):
+    cfg, obj, obs, true_pose, table_pose, cam_pose = setup
+    decoy = true_pose.copy()
+    decoy[:3, 3] = [0.07, 0.05, 0.89]
+    decoy2 = true_pose.copy()
+    decoy2[:3, 3] = [-0.06, 0.03, 0.95]
+    hyps = np.stack([decoy, true_pose, decoy2])[None]  # true pose is choice 1
+    ev = mcts.BatchedLeafEvaluator(
+        [obj], hyps, obs, K_INTR, cam_pose, table_pose, cfg, render_scale=1
+    )
+    # Decoy has the higher LCP heuristic - search must still find the truth.
+    hyp_scores = np.array([[0.9, 0.5, 0.8]], np.float32)
+    assign, best_cost = mcts.uct_search(ev, hyp_scores, cfg, seed=0, max_iterations=10)
+    assert assign[0] == 1

@@ -1,0 +1,110 @@
+import jax.numpy as jnp
+import numpy as np
+
+from physimglobalpose_tpu.geometry import se3
+from physimglobalpose_tpu.ops import physics
+
+
+def box_hull(size=(0.06, 0.06, 0.06)):
+    sx, sy, sz = np.asarray(size) / 2
+    pts = np.array(
+        [[x, y, z] for x in (-sx, sx) for y in (-sy, sy) for z in (-sz, sz)],
+        np.float32,
+    )
+    eqs = np.array(
+        [
+            [1, 0, 0, -sx], [-1, 0, 0, -sx],
+            [0, 1, 0, -sy], [0, -1, 0, -sy],
+            [0, 0, 1, -sz], [0, 0, -1, -sz],
+        ],
+        np.float32,
+    )
+    return pts, eqs
+
+
+def make_scene(k=1, table_z=0.5, mass=(10.0,)):
+    pts, eqs = box_hull()
+    p = 16
+    hull_pts = np.zeros((k, p, 3), np.float32)
+    hull_mask = np.zeros((k, p), bool)
+    hull_eqs = np.tile(np.array([0, 0, 1, -1e9], np.float32), (k, 96, 1))
+    inv_mass = np.zeros(k, np.float32)
+    inv_inertia = np.zeros((k, 3), np.float32)
+    for i in range(k):
+        hull_pts[i, :8] = pts
+        hull_mask[i, :8] = True
+        hull_eqs[i, :6] = eqs
+        if mass[i] > 0:
+            inv_mass[i] = 1.0 / mass[i]
+            inv_inertia[i] = np.asarray(
+                physics.box_inv_inertia(jnp.asarray(pts), jnp.ones(8, bool), mass[i])
+            )
+    table_pose = np.eye(4, dtype=np.float32)
+    table_pose[2, 3] = table_z - 0.2  # top face at z = table_z
+    return physics.PhysicsScene(
+        hull_pts=jnp.asarray(hull_pts),
+        hull_mask=jnp.asarray(hull_mask),
+        hull_eqs=jnp.asarray(hull_eqs),
+        inv_mass=jnp.asarray(inv_mass),
+        inv_inertia=jnp.asarray(inv_inertia),
+        table_pose=jnp.asarray(table_pose),
+        table_half_extents=jnp.asarray([0.4, 0.4, 0.2]),
+    )
+
+
+def test_box_falls_to_table():
+    scene = make_scene()
+    quat = jnp.asarray([[1.0, 0, 0, 0]])
+    pos = jnp.asarray([[0.0, 0.0, 0.60]])  # 7 cm above rest height (0.53)
+    q2, p2 = physics.settle(scene, quat, pos, steps=120)
+    p2 = np.asarray(p2)[0]
+    # Rest: box center at table top + half height = 0.5 + 0.03 = 0.53.
+    assert abs(p2[0]) < 0.02 and abs(p2[1]) < 0.02
+    np.testing.assert_allclose(p2[2], 0.53, atol=0.01)
+
+
+def test_resting_box_stays():
+    scene = make_scene()
+    quat = jnp.asarray([[1.0, 0, 0, 0]])
+    pos = jnp.asarray([[0.05, -0.03, 0.53]])
+    q2, p2 = physics.settle(scene, quat, pos, steps=60)
+    p2 = np.asarray(p2)[0]
+    np.testing.assert_allclose(p2, [0.05, -0.03, 0.53], atol=0.008)
+    # Orientation stays upright.
+    rot = np.asarray(se3.quat_to_matrix(q2[0]))
+    assert rot[2, 2] > 0.99
+
+
+def test_static_body_never_moves():
+    scene = make_scene(k=1, mass=(0.0,))
+    quat = jnp.asarray([[1.0, 0, 0, 0]])
+    pos = jnp.asarray([[0.0, 0.0, 0.8]])  # floating, but static
+    q2, p2 = physics.settle(scene, quat, pos, steps=60)
+    np.testing.assert_allclose(np.asarray(p2)[0], [0.0, 0.0, 0.8], atol=1e-6)
+
+
+def test_box_stacks_on_static_box():
+    scene = make_scene(k=2, mass=(0.0, 10.0))
+    quat = jnp.asarray([[1.0, 0, 0, 0], [1.0, 0, 0, 0]])
+    # Static box resting at 0.53; dynamic box dropped from above it.
+    pos = jnp.asarray([[0.0, 0.0, 0.53], [0.0, 0.0, 0.68]])
+    q2, p2 = physics.settle(scene, quat, pos, steps=120)
+    p2 = np.asarray(p2)
+    # Dynamic box should rest on top of the static one: z = 0.53 + 0.06.
+    np.testing.assert_allclose(p2[1][2], 0.59, atol=0.015)
+
+
+def test_settle_batch_shapes():
+    scene = make_scene()
+    quat = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (4, 1, 1))
+    pos = jnp.tile(jnp.asarray([[0.0, 0.0, 0.6]]), (4, 1, 1))
+    q2, p2 = physics.settle_batch(scene, quat, pos, steps=30)
+    assert q2.shape == (4, 1, 4) and p2.shape == (4, 1, 3)
+
+
+def test_off_table_box_falls():
+    scene = make_scene()
+    quat = jnp.asarray([[1.0, 0, 0, 0]])
+    pos = jnp.asarray([[0.9, 0.0, 0.6]])  # outside the 0.4 half-extent footprint
+    _, p2 = physics.settle(scene, quat, pos, steps=60)
+    assert float(p2[0, 2]) < 0.45  # fell below table top

@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from physimglobalpose_tpu.ops import normals, plane, voxel
+
+
+def test_voxel_downsample_centroids(rng):
+    # Two well-separated clusters -> exactly two occupied voxels at 10 cm.
+    c1 = rng.normal(scale=0.002, size=(20, 3)) + np.array([0.05, 0.05, 0.05])
+    c2 = rng.normal(scale=0.002, size=(10, 3)) + np.array([0.55, 0.05, 0.05])
+    pts = np.concatenate([c1, c2]).astype(np.float32)
+    mask = np.ones(30, bool)
+    out, out_mask, _ = voxel.voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 0.1, 8)
+    got = np.asarray(out)[np.asarray(out_mask)]
+    assert got.shape[0] == 2
+    want = np.stack([c1.mean(0), c2.mean(0)])
+    order = np.argsort(got[:, 0])
+    np.testing.assert_allclose(got[order], want[np.argsort(want[:, 0])], atol=1e-5)
+
+
+def test_voxel_downsample_respects_mask(rng):
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    mask = np.zeros(50, bool)
+    out, out_mask, _ = voxel.voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 0.1, 16)
+    assert int(out_mask.sum()) == 0
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_voxel_extras_averaged():
+    pts = np.array([[0.01, 0.01, 0.01], [0.02, 0.02, 0.02]], np.float32)
+    extras = np.array([[1.0], [3.0]], np.float32)
+    out, out_mask, ex = voxel.voxel_downsample(
+        jnp.asarray(pts), jnp.ones(2, bool), 0.1, 4, extras=jnp.asarray(extras)
+    )
+    assert int(out_mask.sum()) == 1
+    assert np.isclose(np.asarray(ex)[np.asarray(out_mask)][0, 0], 2.0)
+
+
+def test_knn_normals_plane(rng):
+    # Points on z=0.5 plane -> normals should be +-z, oriented to viewpoint (origin).
+    xy = rng.uniform(-0.1, 0.1, size=(128, 2)).astype(np.float32)
+    pts = np.concatenate([xy, np.full((128, 1), 0.5, np.float32)], axis=1)
+    mask = np.ones(128, bool)
+    n = np.asarray(normals.knn_normals(jnp.asarray(pts), jnp.asarray(mask), k=8))
+    # Oriented toward origin means -z.
+    np.testing.assert_allclose(n[:, 2], -1.0, atol=1e-3)
+
+
+def test_knn_normals_sphere(rng):
+    # Points on a sphere: normal should be radial (up to sign).
+    dirs = rng.normal(size=(256, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    pts = (dirs * 0.1 + np.array([0, 0, 0.6])).astype(np.float32)
+    mask = np.ones(256, bool)
+    n = np.asarray(normals.knn_normals(jnp.asarray(pts), jnp.asarray(mask), k=8))
+    dots = np.abs(np.sum(n * dirs, axis=1))
+    assert np.median(dots) > 0.95
+
+
+def test_radius_outlier_mask(rng):
+    cluster = rng.normal(scale=0.005, size=(40, 3)).astype(np.float32)
+    outlier = np.array([[1.0, 1.0, 1.0]], np.float32)
+    pts = np.concatenate([cluster, outlier])
+    mask = np.ones(41, bool)
+    keep = np.asarray(
+        normals.radius_outlier_mask(jnp.asarray(pts), jnp.asarray(mask), 0.03, 10)
+    )
+    assert keep[:40].all()
+    assert not keep[40]
+
+
+def test_plane_ransac(rng):
+    # Dominant plane z = 0.8 with noise + some off-plane clutter.
+    n_plane, n_clutter = 400, 60
+    xy = rng.uniform(-0.3, 0.3, size=(n_plane, 2))
+    zs = 0.8 + rng.normal(scale=0.001, size=(n_plane,))
+    plane_pts = np.column_stack([xy, zs])
+    clutter = rng.uniform(-0.3, 0.3, size=(n_clutter, 3)) + np.array([0, 0, 0.4])
+    pts = np.concatenate([plane_pts, clutter]).astype(np.float32)
+    mask = np.ones(len(pts), bool)
+    p, inl = plane.fit_plane_ransac(
+        jnp.asarray(pts), jnp.asarray(mask), jax.random.key(0), threshold=0.005, iters=128
+    )
+    p = np.asarray(p)
+    # Normal should be +-z, offset +-0.8.
+    assert abs(abs(p[2]) - 1.0) < 0.01
+    assert abs(abs(p[3]) - 0.8) < 0.01
+    inl = np.asarray(inl)
+    assert inl[:n_plane].mean() > 0.98
+    assert inl[n_plane:].mean() < 0.05
+
+
+def test_remove_table_depth(rng):
+    from physimglobalpose_tpu.geometry import pointcloud
+
+    K = jnp.asarray(
+        np.array([[600.0, 0, 32], [0, 600.0, 24], [0, 0, 1]], dtype=np.float32)
+    )
+    depth = np.full((48, 64), 0.8, np.float32)  # flat wall at z=0.8
+    depth[10:20, 10:20] = 0.5  # an object sticking out
+    pts, valid = pointcloud.backproject(jnp.asarray(depth), K)
+    p = jnp.array([0.0, 0.0, 1.0, -0.8])  # plane z=0.8
+    out = np.asarray(plane.remove_table_depth(jnp.asarray(depth), pts, valid, p))
+    assert (out[10:20, 10:20] == 0.5).all()
+    assert (out[30:, 30:] == 0.0).all()
+
+
+def test_table_pose_orthonormal():
+    p = jnp.array([0.0, 0.0, 1.0, -0.53])
+    anchor = jnp.array([0.1, 0.2, 0.53])
+    pose = np.asarray(plane.table_pose_from_plane(p, anchor))
+    rot = pose[:3, :3]
+    np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(pose[:3, 2], [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(pose[:3, 3], [0.1, 0.2, 0.53], atol=1e-6)
