@@ -145,3 +145,114 @@ def hypotheses_from_quads(
         jnp.arange(b, dtype=jnp.int32)[:, None], (b, q)
     ).reshape(-1)
     return HypothesisSet(transforms=tf, valid=valid, base_id=base_id)
+
+
+def extract_pairs_by_distance(
+    model_pts: jnp.ndarray,
+    model_mask: jnp.ndarray,
+    dist: jnp.ndarray,
+    eps: float,
+    key: jax.Array,
+    max_pairs: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Geometric pair extraction for classic Super4PCS mode.
+
+    All directed model pairs whose length matches `dist` within eps
+    (the brute-force semantics of ExtractPairs, 4pcs.cc:109-193 - the
+    hypersphere accelerator is an indexing detail, not a semantic one).
+    dist may be batched [B]; returns ([B?, max_pairs, 2], [B?, max_pairs]).
+    """
+    n = model_pts.shape[0]
+    d = jnp.linalg.norm(
+        model_pts[:, None, :] - model_pts[None, :, :], axis=-1
+    )  # [N, N]
+    valid2 = model_mask[:, None] & model_mask[None, :]
+    not_self = ~jnp.eye(n, dtype=bool)
+
+    def one(dist_scalar, k):
+        ok = valid2 & not_self & (jnp.abs(d - dist_scalar) <= eps)
+        flat_ok = ok.reshape(-1)
+        priority = jnp.where(flat_ok, jax.random.uniform(k, flat_ok.shape), 2.0)
+        _, sel = jax.lax.top_k(-priority, max_pairs)
+        mask = flat_ok[sel]
+        return jnp.stack([sel // n, sel % n], axis=-1).astype(jnp.int32), mask
+
+    if dist.ndim == 0:
+        return one(dist, key)
+    keys = jax.random.split(key, dist.shape[0])
+    return jax.vmap(one)(dist, keys)
+
+
+def extract_congruent_quads_classic(
+    bases: BaseSet,
+    seg_pts: jnp.ndarray,
+    model_pts: jnp.ndarray,
+    model_mask: jnp.ndarray,
+    key: jax.Array,
+    max_pairs: int = 256,
+    max_quads_per_base: int = 100,
+    dist_threshold: float = 0.01,
+    angle_cos_eps: float = 0.15,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Congruent-quad extraction with distance-extracted pair lists.
+
+    The classic Super4PCS path (operMode 0): pair sets come from geometric
+    distance matching instead of the PPF table (ExtractCongruentSet non-StoCS
+    branch, match4pcsBase.cc:1953-1960); the invariant-point matching is
+    shared with the StoCS path.
+    """
+    b = bases.indices.shape[0]
+    q = max_quads_per_base
+    k_pairs1, k_pairs2, k_sel = jax.random.split(key, 3)
+
+    i1, i2, i3, i4 = (bases.indices[:, k] for k in range(4))
+    p1, p2, p3, p4 = (seg_pts[i] for i in (i1, i2, i3, i4))
+    d1 = jnp.linalg.norm(p2 - p1, axis=-1)  # [B]
+    d2_ = jnp.linalg.norm(p4 - p3, axis=-1)
+
+    pairs1, m1 = extract_pairs_by_distance(
+        model_pts, model_mask, d1, dist_threshold, k_pairs1, max_pairs
+    )
+    pairs2, m2 = extract_pairs_by_distance(
+        model_pts, model_mask, d2_, dist_threshold, k_pairs2, max_pairs
+    )
+
+    qa = model_pts[pairs1[..., 0]]
+    qb = model_pts[pairs1[..., 1]]
+    qc = model_pts[pairs2[..., 0]]
+    qd = model_pts[pairs2[..., 1]]
+    e1 = qa + bases.invariant1[:, None, None] * (qb - qa)
+    e2 = qc + bases.invariant2[:, None, None] * (qd - qc)
+    dd1 = qb - qa
+    dd1 = dd1 / jnp.maximum(jnp.linalg.norm(dd1, axis=-1, keepdims=True), 1e-12)
+    dd2 = qd - qc
+    dd2 = dd2 / jnp.maximum(jnp.linalg.norm(dd2, axis=-1, keepdims=True), 1e-12)
+
+    bd1 = p2 - p1
+    bd1 = bd1 / jnp.maximum(jnp.linalg.norm(bd1, axis=-1, keepdims=True), 1e-12)
+    bd2 = p4 - p3
+    bd2 = bd2 / jnp.maximum(jnp.linalg.norm(bd2, axis=-1, keepdims=True), 1e-12)
+    alpha = jnp.sum(bd1 * bd2, axis=-1)
+
+    dist2 = jnp.sum((e1[:, :, None, :] - e2[:, None, :, :]) ** 2, axis=-1)
+    dir_cos = jnp.einsum("bkc,bmc->bkm", dd1, dd2)
+    ok = (
+        (dist2 <= dist_threshold * dist_threshold)
+        & (jnp.abs(dir_cos - alpha[:, None, None]) <= angle_cos_eps)
+        & m1[:, :, None]
+        & m2[:, None, :]
+        & bases.valid[:, None, None]
+    )
+
+    flat_ok = ok.reshape(b, -1)
+    priority = jnp.where(flat_ok, jax.random.uniform(k_sel, flat_ok.shape), 2.0)
+    _, sel = jax.lax.top_k(-priority, q)
+    valid = jnp.take_along_axis(flat_ok, sel, axis=1)
+    k1_idx = sel // max_pairs
+    k2_idx = sel % max_pairs
+    qi = jnp.take_along_axis(pairs1[..., 0], k1_idx, axis=1)
+    qj = jnp.take_along_axis(pairs1[..., 1], k1_idx, axis=1)
+    qk = jnp.take_along_axis(pairs2[..., 0], k2_idx, axis=1)
+    ql = jnp.take_along_axis(pairs2[..., 1], k2_idx, axis=1)
+    quads = jnp.stack([qi, qj, qk, ql], axis=-1)
+    return quads, valid

@@ -127,7 +127,9 @@ def _icp_single(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "trim_fraction", "max_corr_dist", "point_to_plane"),
+    static_argnames=(
+        "iters", "trim_fraction", "max_corr_dist", "point_to_plane", "h_chunk"
+    ),
 )
 def refine_icp(
     transforms: jnp.ndarray,  # [H, 4, 4]
@@ -139,8 +141,14 @@ def refine_icp(
     trim_fraction: float = 0.8,
     max_corr_dist: float = 0.02,
     point_to_plane: bool = True,
+    h_chunk: int = 64,
 ) -> jnp.ndarray:
-    """Refine H poses in parallel; returns [H, 4, 4]."""
+    """Refine H poses in parallel; returns [H, 4, 4].
+
+    The hypothesis batch runs in chunks of h_chunk: the vmapped NN distance
+    block is [h_chunk, Ns, Nm] (a full vmap over H would materialize an
+    [H, Ns, Nm] tensor - 34 GB at H=8k, 1k-point clouds).
+    """
     fn = functools.partial(
         _icp_single,
         model_pts=model_pts,
@@ -152,7 +160,15 @@ def refine_icp(
         max_corr_dist=max_corr_dist,
         point_to_plane=point_to_plane,
     )
-    return jax.vmap(fn)(transforms)
+    h = transforms.shape[0]
+    if h <= h_chunk:
+        return jax.vmap(fn)(transforms)
+    pad = (-h) % h_chunk
+    tfs = jnp.concatenate(
+        [transforms, jnp.broadcast_to(jnp.eye(4), (pad, 4, 4))], axis=0
+    ).reshape(-1, h_chunk, 4, 4)
+    out = jax.lax.map(jax.vmap(fn), tfs).reshape(-1, 4, 4)
+    return out[:h]
 
 
 def icp_fitness(

@@ -106,41 +106,51 @@ def _lcp_kernel(
     delta: float,
     cos_gate: float,
     weighted: bool,
+    total_nv: int,
 ):
-    """TH hypotheses per grid program (TH = sublane tile, 8).
+    """Grid (h_tiles, nv_tiles): TH hypotheses x one model tile per program.
 
     The squared distance ||R m + t - s||^2 is rewritten as
     |m|^2 + |s - t|^2 - 2 m . (R^T (s - t)): only the (small) segment tile is
     transformed per hypothesis, and both the distance and the normal-dot
-    reduce to [Nv, 128] @ [128, tile] matmuls. K is zero-padded to the MXU's
-    native 128 - free, since the MXU processes K=128 per pass regardless.
+    reduce to [nv_tile, 128] @ [128, ns_tile] matmuls. K is zero-padded to
+    the MXU's native 128 - free, since the MXU processes K=128 per pass.
+    The score is a sum over model points, so model tiles accumulate into the
+    (revisited) output block across the inner grid dimension.
     """
-    nv = model_ref.shape[0]
+    nv = model_ref.shape[0]  # the model TILE size (total nv passed separately)
     th = tr_ref.shape[0]
     big = jnp.float32(1e9)
+    j = pl.program_id(1)
 
-    a_pos = model_ref[:, :]  # [Nv, 128] - b's zero lanes mask the unused cols
+    a_pos = model_ref[:, :]  # [nv_tile, 128] - b's zero lanes mask unused cols
 
-    def one_hypothesis(hi):
+    def one_hypothesis(hi, _):
         # Transform scalars (column k of R = row k of R^T = B).
         r = [tr_ref[hi, k] for k in range(12)]
         r00, r01, r02, t0 = r[0], r[1], r[2], r[3]
         r10, r11, r12, t1 = r[4], r[5], r[6], r[7]
         r20, r21, r22, t2 = r[8], r[9], r[10], r[11]
 
-        return _score_one(
-            a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv,
+        partial = _score_one(
+            a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, total_nv,
             (r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2),
         )
+        row = jnp.full((1, 128), partial, jnp.float32)
+        prev = out_ref[pl.ds(hi, 1), :]
+        out_ref[pl.ds(hi, 1), :] = jnp.where(j == 0, row, prev + row)
+        return 0
 
-    for hi in range(th):  # static unroll over the sublane tile
-        score = one_hypothesis(hi)
-        out_ref[hi : hi + 1, :] = jnp.full((1, 128), score, jnp.float32)
+    # fori (not Python unroll): unrolling stacks each iteration's VMEM
+    # buffers and blows the 16 MB scoped-vmem limit on real TPUs.
+    jax.lax.fori_loop(0, th, one_hypothesis, 0)
 
 
 def _score_one(a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv, scal):
+    """Partial score of this model tile (normalized by the FULL model size nv)."""
     (r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2) = scal
     ns = segcat_ref.shape[0]
+    nv_tile = a_pos.shape[0]
 
     def seg_tile(si, carry):
         run_min, run_prob, run_dot = carry  # [Nv, 1] each
@@ -200,9 +210,9 @@ def _score_one(a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv, s
         )
 
     init = (
-        jnp.full((nv, 1), big, jnp.float32),
-        jnp.zeros((nv, 1), jnp.float32),
-        jnp.zeros((nv, 1), jnp.float32),
+        jnp.full((nv_tile, 1), big, jnp.float32),
+        jnp.zeros((nv_tile, 1), jnp.float32),
+        jnp.zeros((nv_tile, 1), jnp.float32),
     )
     run_min, run_prob, run_dot = jax.lax.fori_loop(0, ns // ns_tile, seg_tile, init)
     within = run_min <= delta * delta
@@ -228,7 +238,7 @@ def lcp_scores_pallas(
     normal_gate_deg: float = 30.0,
     weighted: bool = True,
     h_tile: int = 128,
-    ns_tile: int = 256,
+    ns_tile: int = 128,
 ) -> jnp.ndarray:
     """Pallas TPU kernel: grid over hypothesis tiles, segment tiles stream
     through VMEM with running NN state. Falls back on identical math to
@@ -239,19 +249,23 @@ def lcp_scores_pallas(
     pad_ns = (-ns) % ns_tile
     h_tile = 8  # sublane tile: 8 hypotheses per grid program
     pad_h = (-h) % h_tile
+    nv_tile = min(1024, nv)
+    pad_nv = (-nv) % nv_tile
 
     tr16 = jnp.concatenate(
         [transforms, jnp.broadcast_to(jnp.eye(4), (pad_h, 4, 4))], axis=0
     ).reshape(-1, 16)
     tr = jnp.zeros((tr16.shape[0], 128), jnp.float32).at[:, 0:12].set(tr16[:, 0:12])
     # Model pack: cols 0:5 = (x, y, z, |m|^2, 1) for the distance matmul,
-    # cols 8:11 = normal for the normal-agreement matmul.
-    modelcat = jnp.zeros((nv, 128), jnp.float32)
+    # cols 8:11 = normal for the normal-agreement matmul. Padded rows get a
+    # huge |m|^2 so they can never fall within delta of a segment point.
+    modelcat = jnp.zeros((nv + pad_nv, 128), jnp.float32)
     modelcat = (
-        modelcat.at[:, 0:3].set(model_pts)
-        .at[:, 3].set(jnp.sum(model_pts * model_pts, axis=-1))
+        modelcat.at[:nv, 0:3].set(model_pts)
+        .at[:nv, 3].set(jnp.sum(model_pts * model_pts, axis=-1))
+        .at[nv:, 3].set(1e9)
         .at[:, 4].set(1.0)
-        .at[:, 8:11].set(model_nrm)
+        .at[:nv, 8:11].set(model_nrm)
     )
     segcat = jnp.zeros((ns + pad_ns, 128), jnp.float32)
     segcat = (
@@ -272,15 +286,20 @@ def lcp_scores_pallas(
             delta=delta,
             cos_gate=math.cos(math.radians(normal_gate_deg)),
             weighted=weighted,
+            total_nv=nv,
         ),
         out_shape=jax.ShapeDtypeStruct((h + pad_h, 128), jnp.float32),
-        grid=((h + pad_h) // h_tile,),
+        grid=((h + pad_h) // h_tile, (nv + pad_nv) // nv_tile),
         in_specs=[
-            pl.BlockSpec((h_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns + pad_ns, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_tile, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv_tile, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ns + pad_ns, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec((h_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (h_tile, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
     )(tr, modelcat, segcat)
     return out[:h, 0]
 

@@ -9,7 +9,12 @@ decided objects as static (mass 0), the new object dynamic (mass 10), steps
 TPU design: position-based dynamics (PBD). Contacts are convex vertex-face:
 object hull vertices against the table's top face and against other objects'
 hull half-space planes — all contact candidates evaluated densely with masks
-(fixed shapes), no broadphase. The whole settle is one lax.fori_loop, vmapped
+(fixed shapes), no broadphase. Known limitation of vertex-face-only contact:
+two convex shapes with *exactly coincident* lateral boundaries (equal boxes
+perfectly stacked) report zero depth because the penetrating vertices lie on
+the other hull's side faces; real object hulls have distinct footprints, and
+penetration must stay below the lateral clearance per substep (bounded here
+by dt * fall speed, ~5 mm). The whole settle is one lax.fori_loop, vmapped
 over a batch of scenes/hypotheses: thousands of 60-step settles run in one
 device launch vs one serial Bullet world in the reference.
 
@@ -133,20 +138,33 @@ def settle(
     foot = scene.table_half_extents[:2]
 
     def table_contact(quat_i, pos_i, hull_i, mask_i):
-        """Deepest hull-vertex contact with the table top face (local frame)."""
+        """Contact-patch contact with the table top face.
+
+        The lever arm is the penetration-weighted centroid of all penetrating
+        hull vertices (a one-point stand-in for Bullet's contact manifold):
+        a flat face resting on the table produces zero net torque instead of
+        the tumbling kick a single deepest-vertex contact would give.
+        """
         rot = se3.quat_to_matrix(quat_i)
         world = hull_i @ rot.T + pos_i  # [P, 3]
         local = world @ t_inv[:3, :3].T + t_inv[:3, 3]
         in_foot = (jnp.abs(local[:, 0]) <= foot[0]) & (jnp.abs(local[:, 1]) <= foot[1])
         depth = top - local[:, 2]  # >0 below the top surface
-        pen = jnp.where(mask_i & in_foot & (depth > 0) & (depth < 2 * top), depth, -1.0)
-        best = jnp.argmax(pen)
+        pen = jnp.where(mask_i & in_foot & (depth > 0) & (depth < 2 * top), depth, 0.0)
+        wsum = jnp.sum(pen)
+        centroid = jnp.sum(world * pen[:, None], axis=0) / jnp.maximum(wsum, 1e-12)
         n_world = scene.table_pose[:3, :3] @ jnp.array([0.0, 0.0, 1.0])
-        r = world[best] - pos_i
-        return r, n_world, pen[best], pen[best] > 0
+        r = centroid - pos_i
+        max_pen = jnp.max(pen)
+        return r, n_world, max_pen, max_pen > 0
 
     def body_body_contact(quat_a, pos_a, hull_a, mask_a, quat_b, pos_b, eqs_b):
-        """Deepest vertex (of a) vs face (of b) contact; normal pushes a out of b."""
+        """Contact-patch contact of a's vertices against b's hull faces.
+
+        Normal from the deepest vertex's closest face; lever arm from the
+        penetration-weighted centroid of all penetrating vertices (see
+        table_contact for why).
+        """
         rot_a = se3.quat_to_matrix(quat_a)
         world_a = hull_a @ rot_a.T + pos_a  # [P, 3]
         rot_b = se3.quat_to_matrix(quat_b)
@@ -154,12 +172,15 @@ def settle(
         sd = local @ eqs_b[:, :3].T + eqs_b[:, 3][None, :]  # [P, F] signed dist
         inside_depth = -jnp.max(sd, axis=1)  # >0 when inside hull b
         face = jnp.argmax(sd, axis=1)  # closest face per point
-        pen = jnp.where(mask_a & (inside_depth > 0), inside_depth, -1.0)
+        pen = jnp.where(mask_a & (inside_depth > 0), inside_depth, 0.0)
         best = jnp.argmax(pen)
+        wsum = jnp.sum(pen)
+        centroid = jnp.sum(world_a * pen[:, None], axis=0) / jnp.maximum(wsum, 1e-12)
         n_local = eqs_b[face[best], :3]
         n_world = rot_b @ n_local  # outward from b = push direction for a
-        r = world_a[best] - pos_a
-        return r, n_world, pen[best], pen[best] > 0
+        r = centroid - pos_a
+        max_pen = jnp.max(pen)
+        return r, n_world, max_pen, max_pen > 0
 
     def substep(state):
         quat, pos, linvel, angvel = state

@@ -147,3 +147,48 @@ def sample_bases(
     perm, inv1, inv2 = rigid_fit.try_quadrilateral(base_pts)
     idx = jnp.take_along_axis(raw_idx, perm, axis=-1)
     return BaseSet(indices=idx, invariant1=inv1, invariant2=inv2, valid=valid)
+
+
+def sample_bases_uniform(
+    key: jax.Array,
+    seg_pts: jnp.ndarray,
+    seg_mask: jnp.ndarray,
+    num_bases: int,
+    min_spread: float = 0.01,
+) -> BaseSet:
+    """Classic Super4PCS base selection: uniform random wide 4-point bases.
+
+    The probability-free analogue of the reference's SelectQuadrilateral
+    (match4pcsBase.cc:470-577: random triangle maximizing spread + a 4th
+    point) - TPU form: draw 4 independent uniform picks per base, require
+    distinctness and a minimum pairwise spread, reorder via TryQuadrilateral.
+    Bases failing the gates are flagged invalid (callers oversample).
+    """
+    n = seg_pts.shape[0]
+    b = num_bases
+    neg_inf = jnp.float32(-1e30)
+    logw = jnp.where(seg_mask, 0.0, neg_inf)[None, :].repeat(b, axis=0)
+    keys = jax.random.split(key, 4)
+    picks = [_categorical_rows(k, logw) for k in keys]
+    raw_idx = jnp.stack(picks, axis=-1)  # [B, 4]
+
+    pts = seg_pts[raw_idx]  # [B, 4, 3]
+    # Pairwise spread gate + distinctness.
+    diff = pts[:, :, None, :] - pts[:, None, :, :]
+    dist = jnp.linalg.norm(diff, axis=-1)  # [B, 4, 4]
+    eye = jnp.eye(4, dtype=bool)[None]
+    spread_ok = jnp.all((dist >= min_spread) | eye, axis=(1, 2))
+    distinct = (
+        (raw_idx[:, 0] != raw_idx[:, 1])
+        & (raw_idx[:, 0] != raw_idx[:, 2])
+        & (raw_idx[:, 0] != raw_idx[:, 3])
+        & (raw_idx[:, 1] != raw_idx[:, 2])
+        & (raw_idx[:, 1] != raw_idx[:, 3])
+        & (raw_idx[:, 2] != raw_idx[:, 3])
+    )
+    picked_valid = jnp.all(seg_mask[raw_idx], axis=-1)
+    valid = spread_ok & distinct & picked_valid
+
+    perm, inv1, inv2 = rigid_fit.try_quadrilateral(pts)
+    idx = jnp.take_along_axis(raw_idx, perm, axis=-1)
+    return BaseSet(indices=idx, invariant1=inv1, invariant2=inv2, valid=valid)

@@ -119,18 +119,37 @@ def estimate_pose(
             k_seg, k_hyp, key = jax.random.split(key, 3)
             prob = jnp.asarray(prob_images[obj.class_id])
             seg = segmentation.compute_3d_segment(depth_clean, prob, intr, k_seg, cfg)
-            if hypothesis_mode not in ("PCS", "CONGRUENT_SET_MATCHING"):
+            gen_modes = {
+                "PCS": "stocs",
+                "CONGRUENT_SET_MATCHING": "stocs",
+                "SUPER4PCS": "super4pcs",
+            }
+            if hypothesis_mode in ("PPF_VOTING", "Hough"):
+                res = hypothesis.generate_hypotheses_voting(
+                    k_hyp,
+                    seg,
+                    jnp.asarray(obj.search_pts),
+                    jnp.asarray(obj.search_nrm),
+                    jnp.asarray(obj.search_mask),
+                    obj.ppf_table,
+                    jnp.asarray(obj.validation_pts),
+                    jnp.asarray(obj.validation_nrm),
+                    cfg,
+                )
+            elif hypothesis_mode in gen_modes:
+                res = hypothesis.generate_hypotheses(
+                    k_hyp,
+                    seg,
+                    jnp.asarray(obj.search_pts),
+                    jnp.asarray(obj.search_mask),
+                    obj.ppf_table,
+                    jnp.asarray(obj.validation_pts),
+                    jnp.asarray(obj.validation_nrm),
+                    cfg,
+                    mode=gen_modes[hypothesis_mode],
+                )
+            else:
                 raise ValueError(f"unknown hypothesis mode {hypothesis_mode!r}")
-            res = hypothesis.generate_hypotheses(
-                k_hyp,
-                seg,
-                jnp.asarray(obj.search_pts),
-                jnp.asarray(obj.search_mask),
-                obj.ppf_table,
-                jnp.asarray(obj.validation_pts),
-                jnp.asarray(obj.validation_nrm),
-                cfg,
-            )
             top_tf, top_scores = hypothesis.top_k_hypotheses(res, top_k)
             pose_cam = np.asarray(lcp_select(res.best_transform, res.best_score))
             pose_world = np.asarray(se3.to_world(jnp.asarray(pose_cam), jnp.asarray(sc.cam_pose)))

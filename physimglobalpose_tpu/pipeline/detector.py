@@ -1,0 +1,121 @@
+"""Detection-based segmentation support (the RCNN strategy's detector slot).
+
+The reference's RCNN path calls a Faster-RCNN ROS service that returns
+per-class bounding boxes (bin/detect_bbox, recognition.py:27-61); the C++
+side fills rectangular masks from them (Segmentation.cpp:25-94). Here the
+detector is a pluggable callable `(color, class_ids) -> {class: box}`; this
+module ships a geometric default that needs no trained weights: connected
+components of the table-removed depth map are matched to the requested
+objects by physical size - enough to run the RCNN strategy end-to-end, and
+any learned detector can replace it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def connected_components(mask: np.ndarray) -> np.ndarray:
+    """4-connected component labeling (two-pass union-find), host-side."""
+    h, w = mask.shape
+    labels = np.zeros((h, w), np.int32)
+    parent: List[int] = [0]
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nxt = 1
+    for r in range(h):
+        for c in range(w):
+            if not mask[r, c]:
+                continue
+            up = labels[r - 1, c] if r > 0 else 0
+            left = labels[r, c - 1] if c > 0 else 0
+            if up == 0 and left == 0:
+                labels[r, c] = nxt
+                parent.append(nxt)
+                nxt += 1
+            elif up and left:
+                ru, rl = find(up), find(left)
+                labels[r, c] = min(ru, rl)
+                parent[max(ru, rl)] = min(ru, rl)
+            else:
+                labels[r, c] = up or left
+    flat = labels.reshape(-1)
+    for i in range(len(flat)):
+        if flat[i]:
+            flat[i] = find(flat[i])
+    return labels
+
+
+def depth_cluster_boxes(
+    depth: np.ndarray,
+    intrinsics: np.ndarray,
+    min_pixels: int = 200,
+    max_components: int = 8,
+) -> List[Tuple[Tuple[int, int, int, int], float]]:
+    """Object proposals from the table-removed depth map.
+
+    Returns [(tl_x, tl_y, br_x, br_y), metric_extent] sorted by area -
+    the detector-free stand-in for region proposals.
+    """
+    # Downsample 4x for the labeling pass (host loop), then scale boxes up.
+    d4 = depth[::4, ::4]
+    occ = d4 > 0
+    labels = connected_components(occ)
+    out = []
+    for lab in np.unique(labels):
+        if lab == 0:
+            continue
+        ys, xs = np.where(labels == lab)
+        if len(ys) * 16 < min_pixels:
+            continue
+        tl_x, br_x = int(xs.min() * 4), int(xs.max() * 4 + 3)
+        tl_y, br_y = int(ys.min() * 4), int(ys.max() * 4 + 3)
+        z = float(np.median(d4[ys, xs]))
+        # Metric extent of the box at that depth.
+        fx = float(intrinsics[0, 0])
+        extent = max(br_x - tl_x, br_y - tl_y) * z / fx
+        out.append(((tl_x, tl_y, br_x, br_y), extent))
+    out.sort(key=lambda e: -(e[0][2] - e[0][0]) * (e[0][3] - e[0][1]))
+    return out[:max_components]
+
+
+def make_size_matching_detector(db, depth_provider):
+    """Detector callable assigning proposals to classes by physical size.
+
+    Args:
+      db: ObjectDB (for per-object diameters).
+      depth_provider: () -> table-removed depth + intrinsics, evaluated lazily
+        so the detector sees the current scene's preprocessed depth.
+    Returns:
+      detector(color, class_ids) -> {class_id: (tl_x, tl_y, br_x, br_y)}.
+    """
+
+    def detector(color: np.ndarray, class_ids: Sequence[int]) -> Dict[int, tuple]:
+        depth, intrinsics = depth_provider()
+        proposals = depth_cluster_boxes(np.asarray(depth), np.asarray(intrinsics))
+        wanted = [(c, db[db.name_for_class(c)].diameter) for c in class_ids]
+        out: Dict[int, tuple] = {}
+        used = set()
+        # Greedy match: each class takes the unused proposal whose metric
+        # extent is closest to the object's diameter.
+        for c, diam in sorted(wanted, key=lambda e: -e[1]):
+            best, best_err = None, np.inf
+            for i, (box, extent) in enumerate(proposals):
+                if i in used:
+                    continue
+                err = abs(extent - diam)
+                if err < best_err:
+                    best, best_err = i, err
+            if best is not None:
+                used.add(best)
+                out[c] = proposals[best][0]
+        return out
+
+    return detector

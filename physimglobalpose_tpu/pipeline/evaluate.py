@@ -1,0 +1,126 @@
+"""Evaluation driver: dataset sweeps with metrics, JSONL logs, and resume.
+
+The reference ships pose-error *functions* (symmetry-folded rot/trans,
+utilities.cpp:514-577; EMD :425-484) but no evaluation driver (SURVEY.md
+section 5). This module runs estimate_pose over many scene directories,
+scores against gt_info.yml object poses when present (ADD, ADD-S, folded
+rot/trans), appends one JSON line per scene, and skips scenes already in the
+log on restart - the checkpoint/resume story for dataset sweeps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from physimglobalpose_tpu.config import PipelineConfig, DEFAULT_CONFIG
+from physimglobalpose_tpu.models.objectdb import ObjectDB
+from physimglobalpose_tpu.pipeline import api, scene as scene_mod
+
+
+def _metrics_for(est, gt_pose: np.ndarray, obj) -> Dict[str, float]:
+    import jax.numpy as jnp
+
+    from physimglobalpose_tpu.geometry import metrics
+
+    test = jnp.asarray(est.pose_world.astype(np.float32))
+    gt = jnp.asarray(gt_pose.astype(np.float32))
+    model = jnp.asarray(obj.validation_pts[:1024])
+    rot_err, trans_err = metrics.pose_error(test, gt, jnp.asarray(obj.symmetry))
+    add = metrics.add_error(test, gt, model)
+    adds = metrics.adds_error(test, gt, model)
+    return {
+        "rot_err_deg": float(rot_err),
+        "trans_err_m": float(trans_err),
+        "add_m": float(add),
+        "adds_m": float(adds),
+    }
+
+
+def completed_scenes(log_path: str) -> set:
+    done = set()
+    if os.path.exists(log_path):
+        with open(log_path) as fh:
+            for line in fh:
+                try:
+                    done.add(json.loads(line)["scene"])
+                except (json.JSONDecodeError, KeyError):
+                    continue
+    return done
+
+
+def evaluate_scenes(
+    scene_dirs: Sequence[str],
+    db: ObjectDB,
+    log_path: str,
+    dataset: str = "APC",
+    segmentation_mode: str = "GT",
+    verification_mode: str = "LCP",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+    add_threshold: float = 0.02,
+) -> Dict[str, float]:
+    """Sweep scenes, append per-scene JSONL, return aggregate metrics.
+
+    Re-running with the same log_path resumes: scenes already logged are
+    skipped (crash-safe per-scene checkpointing).
+    """
+    done = completed_scenes(log_path)
+    rows: List[dict] = []
+    for sd in scene_dirs:
+        if sd in done:
+            continue
+        t0 = time.perf_counter()
+        result = api.estimate_pose(
+            sd, db, dataset=dataset,
+            segmentation_mode=segmentation_mode,
+            verification_mode=verification_mode,
+            cfg=cfg, seed=seed, write_result=False,
+        )
+        sc = scene_mod.load_scene(sd, dataset=dataset)
+        row = {
+            "scene": sd,
+            "seconds": time.perf_counter() - t0,
+            "objects": {},
+        }
+        for est in result.objects:
+            entry: dict = {"score": est.score}
+            if sc.gt_poses and est.name in sc.gt_poses:
+                entry.update(_metrics_for(est, sc.gt_poses[est.name], db[est.name]))
+            row["objects"][est.name] = entry
+        with open(log_path, "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+        rows.append(row)
+
+    # Aggregate over the entire log (old + new rows).
+    all_rows = []
+    with open(log_path) as fh:
+        for line in fh:
+            try:
+                all_rows.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+    adds_all, add_all, secs = [], [], []
+    for row in all_rows:
+        secs.append(row.get("seconds", 0.0))
+        for entry in row.get("objects", {}).values():
+            if "adds_m" in entry:
+                adds_all.append(entry["adds_m"])
+                add_all.append(entry["add_m"])
+    agg = {
+        "scenes": float(len(all_rows)),
+        "mean_seconds": float(np.mean(secs)) if secs else 0.0,
+    }
+    if adds_all:
+        agg.update(
+            {
+                "mean_adds_m": float(np.mean(adds_all)),
+                "mean_add_m": float(np.mean(add_all)),
+                "adds_within_2cm": float(np.mean(np.asarray(adds_all) < add_threshold)),
+            }
+        )
+    return agg

@@ -39,7 +39,7 @@ class HypothesisResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_bases", "use_pallas"),
+    static_argnames=("cfg", "num_bases", "use_pallas", "mode"),
 )
 def generate_hypotheses(
     key: jax.Array,
@@ -52,8 +52,14 @@ def generate_hypotheses(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     num_bases: int | None = None,
     use_pallas: bool | None = None,
+    mode: str = "stocs",
 ) -> HypothesisResult:
-    """Full StoCS generation + LCP verification for one object segment."""
+    """Full congruent-set generation + LCP verification for one object segment.
+
+    mode="stocs" (default): segmentation-prior weighted bases + PPF-table
+    pair lists (the reference's operMode 1). mode="super4pcs": uniform bases
+    + geometric distance pair extraction (operMode 0).
+    """
     st = cfg.stocs
     b = num_bases or st.num_bases
     k_base, k_quad = jax.random.split(key)
@@ -63,30 +69,47 @@ def generate_hypotheses(
     # validity so the caller falls back to identity.
     enough = jnp.sum(seg.mask) > cfg.preprocess.min_segment_points
 
-    bases = sampling.sample_bases(
-        k_base,
-        seg.pts,
-        seg.nrm,
-        seg.prob,
-        seg.mask,
-        table,
-        num_bases=b,
-        min_base_angle_deg=st.min_base_angle_deg,
-        coplanarity_threshold=st.coplanarity_threshold,
-        min_point_spacing=st.min_point_spacing,
-    )
-
-    quads, quads_valid = congruent.extract_congruent_quads(
-        bases,
-        seg.pts,
-        seg.nrm,
-        model_search_pts,
-        table,
-        k_quad,
-        max_pairs=st.max_pairs_per_ppf,
-        max_quads_per_base=st.max_quads_per_base,
-        dist_threshold=st.distance_factor * st.delta,
-    )
+    if mode == "stocs":
+        bases = sampling.sample_bases(
+            k_base,
+            seg.pts,
+            seg.nrm,
+            seg.prob,
+            seg.mask,
+            table,
+            num_bases=b,
+            min_base_angle_deg=st.min_base_angle_deg,
+            coplanarity_threshold=st.coplanarity_threshold,
+            min_point_spacing=st.min_point_spacing,
+        )
+        quads, quads_valid = congruent.extract_congruent_quads(
+            bases,
+            seg.pts,
+            seg.nrm,
+            model_search_pts,
+            table,
+            k_quad,
+            max_pairs=st.max_pairs_per_ppf,
+            max_quads_per_base=st.max_quads_per_base,
+            dist_threshold=st.distance_factor * st.delta,
+        )
+    elif mode == "super4pcs":
+        bases = sampling.sample_bases_uniform(
+            k_base, seg.pts, seg.mask, num_bases=b,
+            min_spread=st.min_point_spacing,
+        )
+        quads, quads_valid = congruent.extract_congruent_quads_classic(
+            bases,
+            seg.pts,
+            model_search_pts,
+            model_search_mask,
+            k_quad,
+            max_pairs=st.max_pairs_per_ppf,
+            max_quads_per_base=st.max_quads_per_base,
+            dist_threshold=st.distance_factor * st.delta,
+        )
+    else:
+        raise ValueError(f"unknown generation mode {mode!r}")
     # Congruent pairs referencing padded model rows are invalid.
     quad_rows_ok = jnp.all(model_search_mask[quads], axis=-1)
     quads_valid = quads_valid & quad_rows_ok
@@ -132,3 +155,62 @@ def top_k_hypotheses(result: HypothesisResult, k: int):
     """
     scores, idx = jax.lax.top_k(result.scores, k)
     return result.transforms[idx], scores
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def generate_hypotheses_voting(
+    key: jax.Array,
+    seg: Segment3D,
+    model_search_pts: jnp.ndarray,
+    model_search_nrm: jnp.ndarray,
+    model_search_mask: jnp.ndarray,
+    table: ppf.PPFTable,
+    model_validation_pts: jnp.ndarray,
+    model_validation_nrm: jnp.ndarray,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    use_pallas: bool | None = None,
+) -> HypothesisResult:
+    """PPF Hough-voting generation + LCP verification.
+
+    The working realization of the reference's PPFVoting strategy
+    (ObjectPoseCandidateSet.cpp:108-115 stub; inactive Hough machinery
+    match4pcsBase.cc:1062-1409) - see ops/ppf_voting.py.
+    """
+    from physimglobalpose_tpu.ops import ppf_voting
+
+    enough = jnp.sum(seg.mask) > cfg.preprocess.min_segment_points
+    res = ppf_voting.ppf_vote(
+        key,
+        seg.pts, seg.nrm, seg.mask,
+        model_search_pts, model_search_nrm, model_search_mask,
+        table,
+        n_ref=64,
+        max_pairs=32,
+        top_poses=min(cfg.stocs.max_hypotheses, 256),
+    )
+    scores = lcp.lcp_scores(
+        res.transforms,
+        model_validation_pts,
+        model_validation_nrm,
+        seg.pts,
+        seg.nrm,
+        seg.prob,
+        seg.mask,
+        delta=cfg.lcp.delta,
+        normal_gate_deg=cfg.lcp.normal_gate_deg,
+        weighted=True,
+        use_pallas=use_pallas,
+    )
+    valid = res.valid & enough
+    scores = jnp.where(valid, scores, 0.0)
+    best = jnp.argmax(scores)
+    best_score = scores[best]
+    best_tf = jnp.where(best_score > 0, res.transforms[best], jnp.eye(4))
+    return HypothesisResult(
+        transforms=res.transforms,
+        scores=scores,
+        valid=valid,
+        best_transform=best_tf,
+        best_score=best_score,
+        enough_points=enough,
+    )

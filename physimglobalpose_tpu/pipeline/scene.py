@@ -122,3 +122,32 @@ def remove_table(
     )
     tpose = plane.table_pose_from_plane(pl4, anchor)
     return cleaned, pl4, tpose
+
+
+def scene_from_arrays(
+    color: np.ndarray,
+    depth: np.ndarray,
+    intrinsics: np.ndarray,
+    cam_pose: np.ndarray,
+    object_names: List[str],
+    dataset: str = "CAM",
+    class_mask: Optional[np.ndarray] = None,
+    table_pose: Optional[np.ndarray] = None,
+) -> Scene:
+    """Build a Scene from in-memory arrays (live-capture path).
+
+    The analogue of CAMSceneCfg (SceneCfg.cpp:254-318), which grabs
+    /rgb/image + /depth/image ROS topics; any capture source that yields
+    registered RGB-D arrays plugs in here.
+    """
+    return Scene(
+        scene_dir="<memory>",
+        dataset=dataset,
+        color=np.asarray(color),
+        depth=np.asarray(depth, np.float32),
+        intrinsics=np.asarray(intrinsics, np.float32),
+        cam_pose=np.asarray(cam_pose, np.float32),
+        object_names=list(object_names),
+        class_mask=None if class_mask is None else np.asarray(class_mask, np.int32),
+        table_pose=None if table_pose is None else np.asarray(table_pose, np.float32),
+    )

@@ -98,7 +98,7 @@ def test_pallas_interpret_matches_xla(rng):
     import functools
     from unittest import mock
 
-    model, mn, seg_pts, seg_nrm, seg_prob, pose = make_scene(rng, n_model=64, n_seg=128)
+    model, mn, seg_pts, seg_nrm, seg_prob, pose = make_scene(rng, n_model=128, n_seg=96)
     mask = np.ones(len(seg_pts), bool)
     args = (
         jnp.asarray(np.stack([pose, np.eye(4, dtype=np.float32)])),

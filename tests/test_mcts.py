@@ -42,11 +42,10 @@ def setup():
     )
     cloud = box_cloud()
     cam_pose = np.eye(4, dtype=np.float32)  # world == camera
-    # Table top at z=0.8 in camera frame... keep gravity pointing -z (world).
+    # Gravity is -z; table CENTER so its top face sits at z = 0.86
+    # (half-extent 0.2 -> center 0.66); the box rests at 0.86 + 0.03 = 0.89.
     table_pose = np.eye(4, dtype=np.float32)
-    table_pose[2, 3] = 1.06  # box rests ON TOP face at z = 1.06 - 0.2 = 0.86...
-
-    # Simpler: gravity is -z; put the table top at z = 0.86, the box at 0.89.
+    table_pose[2, 3] = 0.66
     true_pose = np.eye(4, dtype=np.float32)
     true_pose[:3, 3] = [0.0, 0.0, 0.89]
 

@@ -22,8 +22,7 @@ def box_hull(size=(0.06, 0.06, 0.06)):
     return pts, eqs
 
 
-def make_scene(k=1, table_z=0.5, mass=(10.0,)):
-    pts, eqs = box_hull()
+def make_scene(k=1, table_z=0.5, mass=(10.0,), sizes=None):
     p = 16
     hull_pts = np.zeros((k, p, 3), np.float32)
     hull_mask = np.zeros((k, p), bool)
@@ -31,6 +30,8 @@ def make_scene(k=1, table_z=0.5, mass=(10.0,)):
     inv_mass = np.zeros(k, np.float32)
     inv_inertia = np.zeros((k, 3), np.float32)
     for i in range(k):
+        size = sizes[i] if sizes else (0.06, 0.06, 0.06)
+        pts, eqs = box_hull(size)
         hull_pts[i, :8] = pts
         hull_mask[i, :8] = True
         hull_eqs[i, :6] = eqs
@@ -84,14 +85,16 @@ def test_static_body_never_moves():
 
 
 def test_box_stacks_on_static_box():
-    scene = make_scene(k=2, mass=(0.0, 10.0))
+    # A smaller dynamic box dropped onto a bigger static one (vertex-face
+    # contact needs distinct footprints - see ops/physics.py docstring).
+    scene = make_scene(k=2, mass=(0.0, 10.0), sizes=((0.06,) * 3, (0.04,) * 3))
     quat = jnp.asarray([[1.0, 0, 0, 0], [1.0, 0, 0, 0]])
-    # Static box resting at 0.53; dynamic box dropped from above it.
-    pos = jnp.asarray([[0.0, 0.0, 0.53], [0.0, 0.0, 0.68]])
+    # Static box resting at 0.53 (top at 0.56); small box dropped from above.
+    pos = jnp.asarray([[0.0, 0.0, 0.53], [0.005, 0.003, 0.60]])
     q2, p2 = physics.settle(scene, quat, pos, steps=120)
     p2 = np.asarray(p2)
-    # Dynamic box should rest on top of the static one: z = 0.53 + 0.06.
-    np.testing.assert_allclose(p2[1][2], 0.59, atol=0.015)
+    # Small box rests on top of the static one: z = 0.56 + 0.02 = 0.58.
+    np.testing.assert_allclose(p2[1][2], 0.58, atol=0.015)
 
 
 def test_settle_batch_shapes():
