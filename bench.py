@@ -3,9 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload (the reference's hottest path, SURVEY.md section 3): H candidate
-poses of a dense model cloud scored against an observed segment - batched
-trimmed point-to-plane ICP refinement followed by weighted-LCP verification.
-The reference does this serially: per-transform kd-tree NN loops
+poses of a dense model cloud scored against an observed segment, through the
+production scoring pipeline (ops/scoring.py): coarse weighted-LCP over all H
+(1/4-subsampled validation cloud), batched trimmed point-to-plane ICP on the
+top 1024 survivors, full-resolution weighted-LCP rescoring. The reference
+does the equivalent serially: per-transform kd-tree NN loops
 (match4pcsBase.cc:1699-1766) inside a 2 s/object budget; measured
 single-thread C++ kd-tree throughput on these cloud sizes is ~250
 hypotheses/sec (1M NN queries/sec over a 4096-point validation cloud), which
@@ -19,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from physimglobalpose_tpu.ops import icp, lcp
+from physimglobalpose_tpu.ops import scoring
 
 BASELINE_HYPS_PER_SEC = 250.0  # single-thread C++ kd-tree verify (see docstring)
 
@@ -57,26 +59,26 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     (tfs, model_m, nrm_m, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask) = make_inputs()
 
-    @jax.jit
     def score_step(tfs):
-        refined = icp.refine_icp(
-            tfs, model_m, nrm_m, seg, seg_mask, iters=ICP_ITERS, point_to_plane=True
+        out = scoring.score_refine_pipeline(
+            tfs, model_m, nrm_m, model_v, nrm_v,
+            seg, seg_nrm, seg_prob, seg_mask,
+            top_k=1024, coarse_subsample=4, icp_iters=ICP_ITERS,
+            use_pallas=on_tpu,
         )
-        scores = lcp.lcp_scores(
-            refined, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask,
-            weighted=True, use_pallas=on_tpu,
-        )
-        return refined, scores
+        return out.top_transforms, out.top_scores
 
-    # Warm-up / compile.
+    # Warm-up / compile. NOTE: on the axon TPU backend block_until_ready is
+    # effectively a no-op; fetching a value is the only reliable barrier.
     refined, scores = score_step(tfs)
-    jax.block_until_ready(scores)
+    float(scores[0])
 
     iters = 5 if on_tpu else 1
     t0 = time.perf_counter()
-    for _ in range(iters):
-        refined, scores = score_step(tfs)
-    jax.block_until_ready(scores)
+    for i in range(iters):
+        tfs_i = tfs.at[:, 0, 3].add(1e-6 * (i + 1))  # distinct inputs
+        refined, scores = score_step(tfs_i)
+        float(scores[0])  # force full materialization
     dt = (time.perf_counter() - t0) / iters
 
     hyps_per_sec = H / dt
@@ -85,7 +87,7 @@ def main():
             {
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
-                "unit": "hyp/s (ICP-10it@1k pts + weighted-LCP@4k pts, H=8192)",
+                "unit": "hyp/s (coarse-LCP@1k -> ICP-10it top-1024 -> fine-LCP@4k, H=8192)",
                 "vs_baseline": round(hyps_per_sec / BASELINE_HYPS_PER_SEC, 2),
             }
         )

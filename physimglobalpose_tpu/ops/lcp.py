@@ -238,7 +238,7 @@ def lcp_scores_pallas(
     normal_gate_deg: float = 30.0,
     weighted: bool = True,
     h_tile: int = 128,
-    ns_tile: int = 128,
+    ns_tile: int = 256,
 ) -> jnp.ndarray:
     """Pallas TPU kernel: grid over hypothesis tiles, segment tiles stream
     through VMEM with running NN state. Falls back on identical math to
@@ -249,7 +249,7 @@ def lcp_scores_pallas(
     pad_ns = (-ns) % ns_tile
     h_tile = 8  # sublane tile: 8 hypotheses per grid program
     pad_h = (-h) % h_tile
-    nv_tile = min(1024, nv)
+    nv_tile = min(2048, nv)
     pad_nv = (-nv) % nv_tile
 
     tr16 = jnp.concatenate(

@@ -115,3 +115,32 @@ def test_pallas_interpret_matches_xla(rng):
             lcp.lcp_scores_pallas.__wrapped__(*args, h_tile=2, ns_tile=64)
         )
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_score_refine_pipeline(rng):
+    from physimglobalpose_tpu.ops import scoring
+
+    model, mn, seg_pts, seg_nrm, seg_prob, pose = make_scene(rng, n_model=256, n_seg=160)
+    mask = np.ones(len(seg_pts), bool)
+    # 16 hypotheses: the true pose, small perturbations, and garbage.
+    tfs = np.tile(np.eye(4, dtype=np.float32), (16, 1, 1))
+    tfs[0] = pose
+    for i in range(1, 8):
+        tfs[i] = pose
+        tfs[i, :3, 3] += np.random.default_rng(i).normal(scale=0.004, size=3)
+    for i in range(8, 16):
+        tfs[i, :3, 3] = [1.0, 1.0, 1.0]
+    out = scoring.score_refine_pipeline(
+        jnp.asarray(tfs), jnp.asarray(model), jnp.asarray(mn),
+        jnp.asarray(model), jnp.asarray(mn),
+        jnp.asarray(seg_pts), jnp.asarray(seg_nrm), jnp.asarray(seg_prob),
+        jnp.asarray(mask),
+        top_k=8, coarse_subsample=2, icp_iters=5, use_pallas=False,
+    )
+    assert out.top_transforms.shape == (8, 4, 4)
+    scores = np.asarray(out.top_scores)
+    assert (np.diff(scores) <= 1e-6).all()  # sorted descending
+    assert scores[0] > 0.3  # best survivor explains the scene
+    # ICP refinement should bring perturbed poses close to the true one.
+    best = np.asarray(out.top_transforms[0])
+    assert np.linalg.norm(best[:3, 3] - pose[:3, 3]) < 0.01
