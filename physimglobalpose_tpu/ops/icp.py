@@ -21,6 +21,8 @@ import functools
 from physimglobalpose_tpu import _jaxcfg  # noqa: F401  (platform/precision setup)
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _nn_model(seg_pts, seg_mask, tm_pts):
@@ -218,3 +220,223 @@ def icp_fitness(
         return jnp.sum(ok) / jnp.maximum(jnp.sum(seg_mask), 1)
 
     return jax.vmap(one)(transforms)
+
+
+# ---------------------------------------------------------------- Pallas path
+
+
+def _icp_corr_kernel(
+    tr_ref,  # VMEM [TH, 128]: cols 0:12 = row-major (R | t)
+    segcat_ref,  # VMEM [Ns, 128]: cols 0:5 = (x, y, z, |s|^2, 1), col 6 = mask
+    modelcat_ref,  # VMEM [Nm, 128]: cols 0:3 = point, 3:6 = normal
+    out_ref,  # VMEM [TH, 128]: cols 0:36 = A (6x6 row-major), 36:42 = b
+    *,
+    nm_tile: int,
+    max_corr_dist: float,
+):
+    """One ICP correspondence+accumulate pass for TH hypotheses.
+
+    For each segment point: NN among the transformed model points (streamed
+    in tiles; distances via the K=128-packed matmul trick), matched point and
+    normal pulled with an argmin one-hot matmul; then the weighted
+    point-to-plane normal equations A x = b are accumulated in VMEM and only
+    the 42 floats per hypothesis leave the chip - the XLA side solves 6x6 and
+    updates poses. Replaces the bandwidth-bound [H, Ns, Nm] XLA formulation.
+    """
+    ns = segcat_ref.shape[0]
+    nm = modelcat_ref.shape[0]
+    th = tr_ref.shape[0]
+    big = jnp.float32(1e9)
+
+    a_seg = segcat_ref[:, :]  # [Ns, 128]
+    sx = segcat_ref[:, 0:1]
+    sy = segcat_ref[:, 1:2]
+    sz = segcat_ref[:, 2:3]
+    smask = segcat_ref[:, 6:7]
+
+    def one_hypothesis(hi, _):
+        r = [tr_ref[hi, k] for k in range(12)]
+        r00, r01, r02, t0 = r[0], r[1], r[2], r[3]
+        r10, r11, r12, t1 = r[4], r[5], r[6], r[7]
+        r20, r21, r22, t2 = r[8], r[9], r[10], r[11]
+
+        def model_tile(mi, carry):
+            run_min, run_matched = carry  # [Ns, 1], [Ns, 128]
+            rows = pl.ds(mi * nm_tile, nm_tile)
+            mx = modelcat_ref[rows, 0:1]
+            my = modelcat_ref[rows, 1:2]
+            mz = modelcat_ref[rows, 2:3]
+            nx = modelcat_ref[rows, 3:4]
+            ny = modelcat_ref[rows, 4:5]
+            nz = modelcat_ref[rows, 5:6]
+            # Transformed model point/normal (model -> scene).
+            tmx = r00 * mx + r01 * my + r02 * mz + t0
+            tmy = r10 * mx + r11 * my + r12 * mz + t1
+            tmz = r20 * mx + r21 * my + r22 * mz + t2
+            tnx = r00 * nx + r01 * ny + r02 * nz
+            tny = r10 * nx + r11 * ny + r12 * nz
+            tnz = r20 * nx + r21 * ny + r22 * nz
+            tsq = tmx * tmx + tmy * tmy + tmz * tmz
+
+            zeros_tail = jnp.zeros((nm_tile, 128 - 5), jnp.float32)
+            ones = jnp.ones((nm_tile, 1), jnp.float32)
+            b1 = jnp.concatenate(
+                [-2.0 * tmx, -2.0 * tmy, -2.0 * tmz, ones, tsq, zeros_tail], axis=1
+            )  # matches seg cols (x, y, z, |s|^2, 1)
+            d2 = jax.lax.dot_general(
+                a_seg, b1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Ns, nm_tile]
+            tile_min = jnp.min(d2, axis=-1, keepdims=True)
+            onehot = (d2 <= tile_min).astype(jnp.float32)
+            onehot = onehot / jnp.maximum(
+                jnp.sum(onehot, axis=-1, keepdims=True), 1.0
+            )
+            packed = jnp.concatenate(
+                [tmx, tmy, tmz, tnx, tny, tnz,
+                 jnp.zeros((nm_tile, 128 - 6), jnp.float32)],
+                axis=1,
+            )  # [nm_tile, 128]
+            matched = jax.lax.dot_general(
+                onehot, packed, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Ns, 128]
+            better = tile_min < run_min
+            return (
+                jnp.where(better, tile_min, run_min),
+                jnp.where(better, matched, run_matched),
+            )
+
+        init = (
+            jnp.full((ns, 1), big, jnp.float32),
+            jnp.zeros((ns, 128), jnp.float32),
+        )
+        run_min, run_matched = jax.lax.fori_loop(0, nm // nm_tile, model_tile, init)
+
+        px = run_matched[:, 0:1]
+        py = run_matched[:, 1:2]
+        pz = run_matched[:, 2:3]
+        nx_ = run_matched[:, 3:4]
+        ny_ = run_matched[:, 4:5]
+        nz_ = run_matched[:, 5:6]
+        # Welsch robust weights (see _robust_weights).
+        sigma2 = (max_corr_dist * 0.5) ** 2
+        in_range = (smask > 0.5) & (run_min <= max_corr_dist * max_corr_dist)
+        w = jnp.where(in_range, jnp.exp(-run_min / (2.0 * sigma2)), 0.0)  # [Ns,1]
+        # Point-to-plane residual and Jacobian columns.
+        resid = (px - sx) * nx_ + (py - sy) * ny_ + (pz - sz) * nz_
+        c1 = py * nz_ - pz * ny_
+        c2 = pz * nx_ - px * nz_
+        c3 = px * ny_ - py * nx_
+        cols = (c1, c2, c3, nx_, ny_, nz_)
+        # Accumulate A (6x6) and b (6) as scalars.
+        vals = []
+        for i in range(6):
+            for jcol in range(6):
+                vals.append(jnp.sum(w * cols[i] * cols[jcol]))
+        for i in range(6):
+            vals.append(-jnp.sum(w * cols[i] * resid))
+        row = jnp.concatenate(
+            [jnp.full((1, 1), v, jnp.float32) for v in vals]
+            + [jnp.zeros((1, 128 - len(vals)), jnp.float32)],
+            axis=1,
+        )
+        out_ref[pl.ds(hi, 1), :] = row
+        return 0
+
+    jax.lax.fori_loop(0, th, one_hypothesis, 0)
+
+
+def _icp_pallas_pass(transforms, segcat, modelcat, max_corr_dist, nm_tile=256):
+    """One correspondence pass -> (A [H,6,6], b [H,6])."""
+    h = transforms.shape[0]
+    h_tile = 8
+    pad_h = (-h) % h_tile
+    tr16 = jnp.concatenate(
+        [transforms, jnp.broadcast_to(jnp.eye(4), (pad_h, 4, 4))], axis=0
+    ).reshape(-1, 16)
+    tr = jnp.zeros((tr16.shape[0], 128), jnp.float32).at[:, 0:12].set(tr16[:, 0:12])
+    nm = modelcat.shape[0]
+    out = pl.pallas_call(
+        functools.partial(
+            _icp_corr_kernel, nm_tile=min(nm_tile, nm), max_corr_dist=max_corr_dist
+        ),
+        out_shape=jax.ShapeDtypeStruct((h + pad_h, 128), jnp.float32),
+        grid=((h + pad_h) // h_tile,),
+        in_specs=[
+            pl.BlockSpec((h_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (segcat.shape[0], 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((nm, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (h_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )(tr, segcat, modelcat)
+    a = out[:h, 0:36].reshape(h, 6, 6)
+    b = out[:h, 36:42]
+    return a, b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "max_corr_dist", "nm_tile")
+)
+def refine_icp_pallas(
+    transforms: jnp.ndarray,  # [H, 4, 4]
+    model_pts: jnp.ndarray,  # [Nm, 3]
+    model_nrm: jnp.ndarray,
+    seg_pts: jnp.ndarray,  # [Ns, 3]
+    seg_mask: jnp.ndarray,
+    iters: int = 10,
+    max_corr_dist: float = 0.02,
+    nm_tile: int = 256,
+) -> jnp.ndarray:
+    """Pallas point-to-plane ICP: H poses refined in parallel on TPU.
+
+    Equivalent math to refine_icp(point_to_plane=True, exact_trim=False);
+    correspondences + normal equations accumulate on-chip, only 42 floats
+    per hypothesis per iteration cross HBM.
+    """
+    ns = seg_pts.shape[0]
+    nm = model_pts.shape[0]
+    pad_nm = (-nm) % min(nm_tile, nm)
+    segcat = jnp.zeros((ns, 128), jnp.float32)
+    segcat = (
+        segcat.at[:, 0:3].set(seg_pts)
+        .at[:, 3].set(jnp.sum(seg_pts * seg_pts, axis=-1))
+        .at[:, 4].set(1.0)
+        .at[:, 6].set(seg_mask.astype(jnp.float32))
+    )
+    modelcat = jnp.zeros((nm + pad_nm, 128), jnp.float32)
+    modelcat = (
+        modelcat.at[:nm, 0:3].set(model_pts)
+        .at[:nm, 3:6].set(model_nrm)
+        # padded model rows pushed far away so they never match
+        .at[nm:, 0:3].set(1e4)
+    )
+
+    def step(tfs, _):
+        a, b = _icp_pallas_pass(tfs, segcat, modelcat, max_corr_dist, nm_tile)
+        a = a + 1e-8 * jnp.eye(6)
+        x = jnp.linalg.solve(a, b[..., None])[..., 0]  # [H, 6]
+        omega, t = x[:, :3], x[:, 3:]
+        theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+        k = omega / jnp.maximum(theta, 1e-12)
+        zeros = jnp.zeros_like(k[:, 0])
+        kx = jnp.stack(
+            [zeros, -k[:, 2], k[:, 1],
+             k[:, 2], zeros, -k[:, 0],
+             -k[:, 1], k[:, 0], zeros], axis=-1,
+        ).reshape(-1, 3, 3)
+        st = jnp.sin(theta)[..., None]
+        ct = (1.0 - jnp.cos(theta))[..., None]
+        drot = jnp.eye(3)[None] + st * kx + ct * (kx @ kx)
+        new_rot = drot @ tfs[:, :3, :3]
+        new_t = jnp.einsum("hij,hj->hi", drot, tfs[:, :3, 3]) + t
+        out = jnp.broadcast_to(jnp.eye(4), tfs.shape).at[:, :3, :3].set(new_rot)
+        out = out.at[:, :3, 3].set(new_t)
+        return out, None
+
+    refined, _ = jax.lax.scan(step, transforms, None, length=iters)
+    return refined

@@ -65,13 +65,22 @@ def score_refine_pipeline(
         weighted=True, use_pallas=use_pallas,
     )
 
-    # Stage 2: top-k survivors get batched ICP refinement.
+    # Stage 2: top-k survivors get batched ICP refinement (Pallas on TPU:
+    # correspondences + normal equations accumulate in VMEM; only 42 floats
+    # per hypothesis per iteration cross HBM).
     _, idx = jax.lax.top_k(coarse, k)
     top_tfs = transforms[idx]
-    refined = icp_mod.refine_icp(
-        top_tfs, model_search_pts, model_search_nrm, seg_pts, seg_mask,
-        iters=icp_iters, point_to_plane=True,
-    )
+    pallas_icp = jax.default_backend() == "tpu" if use_pallas is None else use_pallas
+    if pallas_icp:
+        refined = icp_mod.refine_icp_pallas(
+            top_tfs, model_search_pts, model_search_nrm, seg_pts, seg_mask,
+            iters=icp_iters,
+        )
+    else:
+        refined = icp_mod.refine_icp(
+            top_tfs, model_search_pts, model_search_nrm, seg_pts, seg_mask,
+            iters=icp_iters, point_to_plane=True,
+        )
 
     # Stage 3: full-resolution weighted LCP on the refined survivors.
     fine = lcp_mod.lcp_scores(

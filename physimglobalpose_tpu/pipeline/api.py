@@ -168,10 +168,24 @@ def estimate_pose(
     if verification_mode == "MCTS":
         from physimglobalpose_tpu.pipeline.mcts import mcts_select
 
+        # remove_table fits the plane in CAMERA frame; physics needs the
+        # table in WORLD frame (gravity acts along world -z) with its local
+        # z pointing up (the contact model treats local +z as the top face).
+        table_pose_world = np.array(se3.to_world(table_pose, jnp.asarray(sc.cam_pose)))
+        if table_pose_world[2, 2] < 0:
+            table_pose_world[:3, 1] *= -1.0  # flip y and z columns:
+            table_pose_world[:3, 2] *= -1.0  # still right-handed
+        # The fitted frame's origin lies ON the surface; the physics table is
+        # a box CENTERED at its pose (PhySim.cpp:22-48) - shift down by the
+        # half extent so the box's top face coincides with the surface.
+        table_pose_world[:3, 3] -= (
+            cfg.physics.table_half_extents[2] * table_pose_world[:3, 2]
+        )
+
         t_mcts = time.perf_counter()
         with trace_span(tracer, "mcts"):
             estimates = mcts_select(
-                estimates, sc, db, np.asarray(table_pose), depth_clean, cfg, seed=seed
+                estimates, sc, db, np.asarray(table_pose_world), depth_clean, cfg, seed=seed
             )
         timings["mcts_s"] = time.perf_counter() - t_mcts
     elif verification_mode != "LCP":

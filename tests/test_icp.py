@@ -106,3 +106,34 @@ def test_fitness(rng):
     )
     assert fits[0] > 0.9
     assert fits[1] < 0.2
+
+
+def test_pallas_icp_interpret_matches_xla(rng):
+    import functools
+    from unittest import mock
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    model, mnrm, seg, true_pose, init = make_case(rng, n_model=128, n_seg=96,
+                                                  perturb_deg=5, perturb_t=0.01)
+    mask = np.ones(len(seg), bool)
+    want = np.asarray(
+        icp.refine_icp(
+            jnp.asarray(init)[None], jnp.asarray(model), jnp.asarray(mnrm),
+            jnp.asarray(seg), jnp.asarray(mask), iters=8, point_to_plane=True,
+        )
+    )[0]
+    orig_call = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig_call, interpret=True)):
+        got = np.asarray(
+            icp.refine_icp_pallas.__wrapped__(
+                jnp.asarray(init)[None], jnp.asarray(model), jnp.asarray(mnrm),
+                jnp.asarray(seg), jnp.asarray(mask), iters=8, nm_tile=64,
+            )
+        )[0]
+    # Both must align the model; compare final cloud positions.
+    a = model @ got[:3, :3].T + got[:3, 3]
+    b = model @ want[:3, :3].T + want[:3, 3]
+    assert np.mean(np.linalg.norm(a - b, axis=1)) < 1e-3
+    assert check_alignment(got, true_pose, model, tol=0.004)
