@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--objects", nargs="*", default=None,
                    help="restrict asset prep to these objects")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--repeat", type=int, default=1,
+                   help="run the scene N times (steady-state timing; compile amortized)")
     p.add_argument("--trace", default=None, help="write JSON trace to this path")
     p.add_argument("--result", default=None,
                    help="result.txt path (default: scene dir, or cwd if read-only)")
@@ -68,15 +70,21 @@ def main(argv=None):
     db = objectdb.load_object_db(
         args.obj_config, args.model_dir, config=cfg, cache_dir=args.cache_dir, only=only
     )
-    result = api.estimate_pose(
-        args.scene, db, dataset=args.dataset,
-        segmentation_mode=args.segmentation,
-        hypothesis_mode=args.hypothesis,
-        verification_mode=args.verification,
-        cfg=cfg,
-        seed=args.seed,
-        result_path=args.result,
-    )
+    import time as _time
+
+    for rep in range(args.repeat):
+        t0 = _time.perf_counter()
+        result = api.estimate_pose(
+            args.scene, db, dataset=args.dataset,
+            segmentation_mode=args.segmentation,
+            hypothesis_mode=args.hypothesis,
+            verification_mode=args.verification,
+            cfg=cfg,
+            seed=args.seed + rep,
+            result_path=args.result,
+        )
+        if args.repeat > 1:
+            print(f"[rep {rep}] scene time: {_time.perf_counter() - t0:.3f}s")
     for obj in result.objects:
         t = obj.pose_world[:3, 3]
         print(f"{obj.name}: t=({t[0]:.4f}, {t[1]:.4f}, {t[2]:.4f}) score={obj.score:.4f}")

@@ -214,3 +214,74 @@ def generate_hypotheses_voting(
         best_score=best_score,
         enough_points=enough,
     )
+
+
+def stack_object_tables(tables: list[ppf.PPFTable]) -> ppf.PPFTable:
+    """Stack per-object PPF tables into batched arrays (pairs padded).
+
+    All tables share the bin-space shape (same discretization); the variable-
+    length pair arrays pad to the max so the whole object set can run as one
+    vmapped device program.
+    """
+    import numpy as np
+
+    p_max = max(int(t.pairs.shape[0]) for t in tables)
+    presence = jnp.stack([t.presence for t in tables])
+    offsets = jnp.stack([t.offsets for t in tables])
+    counts = jnp.stack([t.counts for t in tables])
+    pairs = jnp.stack(
+        [
+            jnp.concatenate(
+                [t.pairs, jnp.zeros((p_max - t.pairs.shape[0], 2), jnp.int32)], axis=0
+            )
+            for t in tables
+        ]
+    )
+    t0 = tables[0]
+    return ppf.PPFTable(
+        presence=presence, offsets=offsets, counts=counts, pairs=pairs,
+        trans_disc=t0.trans_disc, rot_disc=t0.rot_disc, max_dist_mm=t0.max_dist_mm,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_bases", "use_pallas", "mode")
+)
+def generate_hypotheses_batch(
+    key: jax.Array,
+    segs: Segment3D,  # leaves stacked with a leading object axis [K, ...]
+    model_search_pts: jnp.ndarray,  # [K, Nm, 3]
+    model_search_mask: jnp.ndarray,  # [K, Nm]
+    tables: ppf.PPFTable,  # stacked (stack_object_tables)
+    model_validation_pts: jnp.ndarray,  # [K, Nv, 3]
+    model_validation_nrm: jnp.ndarray,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    num_bases: int | None = None,
+    use_pallas: bool | None = None,
+    mode: str = "stocs",
+) -> HypothesisResult:
+    """All K objects' StoCS generation + verification in ONE device program.
+
+    The data-parallel axis of this workload: the reference runs objects
+    serially (SceneCfg.cpp:376-406, threads commented out); here they vmap.
+    """
+    k = model_search_pts.shape[0]
+    keys = jax.random.split(key, k)
+
+    def one(key_i, seg_i, msp, msm, presence, offsets, counts, pairs, mvp, mvn):
+        table_i = ppf.PPFTable(
+            presence=presence, offsets=offsets, counts=counts, pairs=pairs,
+            trans_disc=tables.trans_disc, rot_disc=tables.rot_disc,
+            max_dist_mm=tables.max_dist_mm,
+        )
+        return generate_hypotheses.__wrapped__(
+            key_i, seg_i, msp, msm, table_i, mvp, mvn, cfg,
+            num_bases=num_bases, use_pallas=use_pallas, mode=mode,
+        )
+
+    return jax.vmap(one)(
+        keys, segs,
+        model_search_pts, model_search_mask,
+        tables.presence, tables.offsets, tables.counts, tables.pairs,
+        model_validation_pts, model_validation_nrm,
+    )

@@ -165,3 +165,46 @@ def test_generate_hypotheses_degenerate_segment(box_assets):
     assert not bool(res.enough_points)
     assert float(res.best_score) == 0.0
     np.testing.assert_allclose(np.asarray(res.best_transform), np.eye(4))
+
+
+def test_batched_objects_match_individual(box_assets, rng):
+    """generate_hypotheses_batch(K objects) == per-object calls, same keys."""
+    import jax
+
+    mpts, mnrm, table = box_assets
+    cfg = PipelineConfig(
+        stocs=StoCSConfig(num_bases=16, max_quads_per_base=16, max_pairs_per_ppf=64),
+    )
+    # Two "objects" (same model twice keeps asset prep cheap; keys differ).
+    seg_pts, seg_nrm, _ = make_segment(rng, mpts, mnrm)
+    n_pad = 256
+    pts = np.zeros((n_pad, 3), np.float32); pts[: len(seg_pts)] = seg_pts
+    nrm = np.zeros((n_pad, 3), np.float32); nrm[: len(seg_nrm)] = seg_nrm
+    mask = np.zeros(n_pad, bool); mask[: len(seg_pts)] = True
+    seg = Segment3D(
+        pts=jnp.asarray(pts), nrm=jnp.asarray(nrm),
+        prob=jnp.asarray(mask.astype(np.float32)), mask=jnp.asarray(mask),
+    )
+    segs = jax.tree.map(lambda x: jnp.stack([x, x]), seg)
+    stacked = hypothesis.stack_object_tables([table, table])
+    msp = jnp.stack([jnp.asarray(mpts)] * 2)
+    msm = jnp.stack([jnp.ones(len(mpts), bool)] * 2)
+    mvn = jnp.stack([jnp.asarray(mnrm)] * 2)
+
+    key = jax.random.key(9)
+    batch = hypothesis.generate_hypotheses_batch(
+        key, segs, msp, msm, stacked, msp, mvn, cfg, use_pallas=False,
+    )
+    keys = jax.random.split(key, 2)
+    for i in range(2):
+        single = hypothesis.generate_hypotheses(
+            keys[i], seg, jnp.asarray(mpts), jnp.ones(len(mpts), bool), table,
+            jnp.asarray(mpts), jnp.asarray(mnrm), cfg, use_pallas=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch.scores[i]), np.asarray(single.scores), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch.best_transform[i]),
+            np.asarray(single.best_transform), atol=1e-5,
+        )
