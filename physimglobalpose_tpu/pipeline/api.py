@@ -113,17 +113,72 @@ def estimate_pose(
     intr = jnp.asarray(sc.intrinsics)
     estimates: List[ObjectPoseEstimate] = []
     t_hyp = time.perf_counter()
-    for name in sc.object_names:
+    gen_modes = {
+        "PCS": "stocs",
+        "CONGRUENT_SET_MATCHING": "stocs",
+        "SUPER4PCS": "super4pcs",
+    }
+    batchable = (
+        hypothesis_mode in gen_modes
+        and len(sc.object_names) > 1
+        # one device program needs uniform static shapes across objects
+        and len({db[n].validation_pts.shape for n in sc.object_names}) == 1
+        and len({db[n].search_pts.shape for n in sc.object_names}) == 1
+    )
+
+    if batchable:
+        with trace_span(tracer, "objects:batched"):
+            objs = [db[n] for n in sc.object_names]
+            k_batch, key = jax.random.split(key)
+            seg_keys = jax.random.split(k_batch, len(objs) + 1)
+            segs_list = [
+                segmentation.compute_3d_segment(
+                    depth_clean, jnp.asarray(prob_images[o.class_id]), intr,
+                    seg_keys[i], cfg,
+                )
+                for i, o in enumerate(objs)
+            ]
+            segs = jax.tree.map(lambda *xs: jnp.stack(xs), *segs_list)
+            stacked = hypothesis.stack_object_tables([o.ppf_table for o in objs])
+            res_b = hypothesis.generate_hypotheses_batch(
+                seg_keys[-1], segs,
+                jnp.stack([jnp.asarray(o.search_pts) for o in objs]),
+                jnp.stack([jnp.asarray(o.search_mask) for o in objs]),
+                stacked,
+                jnp.stack([jnp.asarray(o.validation_pts) for o in objs]),
+                jnp.stack([jnp.asarray(o.validation_nrm) for o in objs]),
+                cfg,
+                mode=gen_modes[hypothesis_mode],
+            )
+            for i, name in enumerate(sc.object_names):
+                res_i = hypothesis.HypothesisResult(
+                    transforms=res_b.transforms[i], scores=res_b.scores[i],
+                    valid=res_b.valid[i], best_transform=res_b.best_transform[i],
+                    best_score=res_b.best_score[i], enough_points=res_b.enough_points[i],
+                )
+                top_tf, top_scores = hypothesis.top_k_hypotheses(res_i, top_k)
+                pose_cam = np.asarray(lcp_select(res_i.best_transform, res_i.best_score))
+                pose_world = np.asarray(
+                    se3.to_world(jnp.asarray(pose_cam), jnp.asarray(sc.cam_pose))
+                )
+                estimates.append(
+                    ObjectPoseEstimate(
+                        name=name, pose_cam=pose_cam, pose_world=pose_world,
+                        score=float(res_i.best_score),
+                        hypotheses=np.asarray(top_tf),
+                        hypothesis_scores=np.asarray(top_scores),
+                    )
+                )
+        object_names_left = []
+    else:
+        object_names_left = list(sc.object_names)
+
+    for name in object_names_left:
         obj = db[name]
         with trace_span(tracer, f"object:{name}"):
             k_seg, k_hyp, key = jax.random.split(key, 3)
             prob = jnp.asarray(prob_images[obj.class_id])
             seg = segmentation.compute_3d_segment(depth_clean, prob, intr, k_seg, cfg)
-            gen_modes = {
-                "PCS": "stocs",
-                "CONGRUENT_SET_MATCHING": "stocs",
-                "SUPER4PCS": "super4pcs",
-            }
             if hypothesis_mode in ("PPF_VOTING", "Hough"):
                 res = hypothesis.generate_hypotheses_voting(
                     k_hyp,
