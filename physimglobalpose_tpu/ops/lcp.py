@@ -224,7 +224,8 @@ def _score_one(a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv, s
 
 
 @functools.partial(
-    jax.jit, static_argnames=("delta", "normal_gate_deg", "weighted", "h_tile", "ns_tile")
+    jax.jit,
+    static_argnames=("delta", "normal_gate_deg", "weighted", "h_tile", "ns_tile", "wide"),
 )
 def lcp_scores_pallas(
     transforms: jnp.ndarray,
@@ -239,6 +240,7 @@ def lcp_scores_pallas(
     weighted: bool = True,
     h_tile: int = 128,
     ns_tile: int = 256,
+    wide: bool = False,  # EXPERIMENTAL: crashes the Mosaic compiler on v5e
 ) -> jnp.ndarray:
     """Pallas TPU kernel: grid over hypothesis tiles, segment tiles stream
     through VMEM with running NN state. Falls back on identical math to
@@ -279,9 +281,14 @@ def lcp_scores_pallas(
         .set(seg_mask.astype(jnp.float32))
     )
 
+    if wide:
+        kernel = _lcp_kernel_wide
+        ns_tile = min(ns_tile, 128)  # lane-aligned slices; N = TH*128 = 1024
+    else:
+        kernel = _lcp_kernel
     out = pl.pallas_call(
         functools.partial(
-            _lcp_kernel,
+            kernel,
             ns_tile=min(ns_tile, ns + pad_ns),
             delta=delta,
             cos_gate=math.cos(math.radians(normal_gate_deg)),
@@ -333,3 +340,129 @@ def lcp_scores(
         normal_gate_deg=normal_gate_deg,
         weighted=weighted,
     )
+
+
+def _lcp_kernel_wide(
+    tr_ref,  # VMEM [TH, 128]
+    model_ref,  # VMEM [nv_tile, 128]
+    segcat_ref,  # VMEM [Ns, 128]
+    out_ref,  # VMEM [TH, 128]
+    *,
+    ns_tile: int,
+    delta: float,
+    cos_gate: float,
+    weighted: bool,
+    total_nv: int,
+):
+    """Wide-N variant: all TH hypotheses share one matmul per segment tile.
+
+    b-matrices of the TH hypotheses concatenate along rows, so the distance
+    and normal-dot for the whole hypothesis tile come from two
+    [nv_tile, 128] @ [128, TH*ns_tile] matmuls - 8x fewer, 8x wider MXU
+    launches than the per-hypothesis loop.
+    """
+    th = tr_ref.shape[0]
+    nv_tile = model_ref.shape[0]
+    ns = segcat_ref.shape[0]
+    big = jnp.float32(1e9)
+    j = pl.program_id(1)
+
+    a_pos = model_ref[:, :]
+
+    scal = []
+    for hi in range(th):
+        scal.append([tr_ref[hi, k] for k in range(12)])
+
+    def seg_tile(si, carry):
+        run_min, run_prob, run_dot = carry  # [nv_tile, TH] each
+        rows = pl.ds(si * ns_tile, ns_tile)
+        sx = segcat_ref[rows, 0:1]
+        sy = segcat_ref[rows, 1:2]
+        sz = segcat_ref[rows, 2:3]
+        nx = segcat_ref[rows, 3:4]
+        ny = segcat_ref[rows, 4:5]
+        nz = segcat_ref[rows, 5:6]
+        sprob = segcat_ref[rows, 6:7]
+        smask = segcat_ref[rows, 7:8]
+        ones = jnp.ones((ns_tile, 1), jnp.float32)
+        z3 = jnp.zeros((ns_tile, 3), jnp.float32)
+        ztail = jnp.zeros((ns_tile, 128 - 11), jnp.float32)
+        z8 = jnp.zeros((ns_tile, 8), jnp.float32)
+
+        b1_blocks = []
+        b2_blocks = []
+        for hi in range(th):
+            r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2 = scal[hi]
+            dx = sx - t0
+            dy = sy - t1
+            dz = sz - t2
+            qx = r00 * dx + r10 * dy + r20 * dz
+            qy = r01 * dx + r11 * dy + r21 * dz
+            qz = r02 * dx + r12 * dy + r22 * dz
+            c = dx * dx + dy * dy + dz * dz
+            c = jnp.where(smask > 0.5, c, big)
+            bnx = r00 * nx + r10 * ny + r20 * nz
+            bny = r01 * nx + r11 * ny + r21 * nz
+            bnz = r02 * nx + r12 * ny + r22 * nz
+            b1_blocks.append(
+                jnp.concatenate([-2.0 * qx, -2.0 * qy, -2.0 * qz, ones, c, z3,
+                                 jnp.zeros((ns_tile, 3), jnp.float32), ztail], axis=1)
+            )
+            b2_blocks.append(
+                jnp.concatenate([z8, bnx, bny, bnz, ztail], axis=1)
+            )
+        b1 = jnp.concatenate(b1_blocks, axis=0)  # [TH*ns_tile, 128]
+        b2 = jnp.concatenate(b2_blocks, axis=0)
+
+        d2 = jax.lax.dot_general(
+            a_pos, b1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [nv_tile, TH*ns_tile]
+        ndot = jax.lax.dot_general(
+            a_pos, b2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        mins, probs, dots = [], [], []
+        for hi in range(th):
+            cols = slice(hi * ns_tile, (hi + 1) * ns_tile)
+            d2h = d2[:, cols]
+            tile_min = jnp.min(d2h, axis=-1, keepdims=True)
+            is_best = d2h <= tile_min
+            prob_row = jnp.broadcast_to(sprob[:, 0][None, :], d2h.shape)
+            mins.append(tile_min)
+            probs.append(
+                jnp.max(jnp.where(is_best, prob_row, -1.0), axis=-1, keepdims=True)
+            )
+            dots.append(
+                jnp.max(jnp.where(is_best, jnp.abs(ndot[:, cols]), -1.0),
+                        axis=-1, keepdims=True)
+            )
+        # Lane-pad the carries to 128 (sub-128 lane shapes crash Mosaic).
+        padf = jnp.full((nv_tile, 128 - th), big, jnp.float32)
+        padz = jnp.zeros((nv_tile, 128 - th), jnp.float32)
+        tile_min = jnp.concatenate(mins + [padf], axis=1)  # [nv_tile, 128]
+        tile_prob = jnp.concatenate(probs + [padz], axis=1)
+        tile_dot = jnp.concatenate(dots + [padz], axis=1)
+        better = tile_min < run_min
+        return (
+            jnp.where(better, tile_min, run_min),
+            jnp.where(better, tile_prob, run_prob),
+            jnp.where(better, tile_dot, run_dot),
+        )
+
+    init = (
+        jnp.full((nv_tile, 128), big, jnp.float32),
+        jnp.zeros((nv_tile, 128), jnp.float32),
+        jnp.zeros((nv_tile, 128), jnp.float32),
+    )
+    run_min, run_prob, run_dot = jax.lax.fori_loop(0, ns // ns_tile, seg_tile, init)
+    within = run_min <= delta * delta
+    if weighted:
+        contrib = jnp.where(within & (run_dot >= cos_gate), run_prob, 0.0)
+    else:
+        contrib = within.astype(jnp.float32)
+    partial = jnp.sum(contrib, axis=0, keepdims=True) / total_nv  # [1, 128]
+    rows = jnp.concatenate(
+        [jnp.full((1, 128), partial[0, hi], jnp.float32) for hi in range(th)], axis=0
+    )
+    prev = out_ref[:, :]
+    out_ref[:, :] = jnp.where(j == 0, rows, prev + rows)
