@@ -148,12 +148,20 @@ def build_prob_images(
         probs = nn_predictor(color, class_ids)
         if strategy == "FCNThreshold":
             if background_prob is None:
-                raise ValueError("FCNThreshold needs the background probability map")
+                # Derive the background map when the predictor doesn't expose
+                # a dedicated background class: bg = 1 - max object prob.
+                stacked = np.stack([probs[c] for c in class_ids])
+                background_prob = 1.0 - stacked.max(axis=0)
             return threshold_prob_images(probs, background_prob, threshold)
         return probs
     if strategy in ("RCNN", "RCNNThreshold"):
         if detector is None or color is None:
             raise ValueError("RCNN segmentation needs a detector and color image")
         boxes = detector(color, class_ids)
-        return bbox_prob_images(boxes, color.shape[0], color.shape[1])
+        out = bbox_prob_images(boxes, color.shape[0], color.shape[1])
+        # Undetected classes get an empty mask (the pipeline returns identity
+        # for degenerate segments, like the reference's <30-point bail).
+        for c in class_ids:
+            out.setdefault(c, np.zeros(color.shape[:2], np.float32))
+        return out
     raise ValueError(f"unknown segmentation strategy {strategy!r}")

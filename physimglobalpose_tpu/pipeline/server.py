@@ -1,0 +1,138 @@
+"""HTTP service honoring the /pose_estimation contract.
+
+The reference exposes the pipeline as a ROS service (main.cpp:210-212,
+EstimateObjectPose.srv); here the same request shape is a JSON POST to a
+long-running process (models stay loaded, jits stay warm - the serving
+deployment mode):
+
+  POST /pose_estimation
+  {"dataset": "APC", "scene_dir": "...", "segmentation_mode": "GT",
+   "hypothesis_mode": "PCS", "verification_mode": "LCP", "seed": 0}
+  -> {"objects": [{"name", "pose_world" (4x4), "pose_cam", "score"}, ...],
+      "timings": {...}}
+
+Run: python -m physimglobalpose_tpu.pipeline.server --port 8080 \
+       --obj-config ... --model-dir ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def make_handler(db, default_cfg):
+    from physimglobalpose_tpu.pipeline import api
+
+    lock = threading.Lock()  # one scene at a time through the device
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True, "objects": db.names})
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/pose_estimation":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                with lock:
+                    result = api.estimate_pose(
+                        req["scene_dir"],
+                        db,
+                        dataset=req.get("dataset", "APC"),
+                        segmentation_mode=req.get("segmentation_mode", "GT"),
+                        hypothesis_mode=req.get("hypothesis_mode", "PCS"),
+                        verification_mode=req.get("verification_mode", "LCP"),
+                        cfg=default_cfg,
+                        seed=int(req.get("seed", 0)),
+                        write_result=bool(req.get("write_result", False)),
+                    )
+                self._reply(
+                    200,
+                    {
+                        "objects": [
+                            {
+                                "name": o.name,
+                                "pose_world": o.pose_world.tolist(),
+                                "pose_cam": o.pose_cam.tolist(),
+                                "score": o.score,
+                            }
+                            for o in result.objects
+                        ],
+                        "timings": result.timings,
+                    },
+                )
+            except (KeyError, ValueError, FileNotFoundError) as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # noqa: BLE001 - service boundary
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return Handler
+
+
+def serve(db, cfg, port: int = 8080, host: str = "127.0.0.1"):
+    """Start the service (blocking). Returns the server for programmatic use."""
+    server = ThreadingHTTPServer((host, port), make_handler(db, cfg))
+    return server
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="pose estimation HTTP service")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--obj-config", required=True)
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--cache-dir", default="/tmp/physim_tpu_cache")
+    p.add_argument("--objects", nargs="*", default=None)
+    p.add_argument("--preset", default="default", choices=["default", "small"])
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args = p.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from physimglobalpose_tpu.config import (
+        PipelineConfig, PreprocessConfig, StoCSConfig,
+    )
+    from physimglobalpose_tpu.models import objectdb
+
+    if args.preset == "small":
+        cfg = PipelineConfig(
+            preprocess=PreprocessConfig(max_segment_points=512),
+            stocs=StoCSConfig(num_bases=48, max_quads_per_base=32, max_pairs_per_ppf=128),
+            max_model_points=512,
+            max_validation_points=1024,
+        )
+    else:
+        cfg = PipelineConfig()
+    db = objectdb.load_object_db(
+        args.obj_config, args.model_dir, config=cfg,
+        cache_dir=args.cache_dir, only=args.objects,
+    )
+    server = serve(db, cfg, port=args.port, host=args.host)
+    print(f"pose_estimation service on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -87,3 +87,51 @@ def test_estimate_pose_gt_pcs_lcp(db, tmp_path):
     assert len(lines) == 3
     assert lines[0].split()[0] == "kleenex_tissue_box"
     assert len(lines[0].split()) == 8
+
+
+def test_fcn_path_with_fake_predictor(db):
+    """FCNThreshold strategy wiring: a predictor that returns the GT masks."""
+    sc = scene_mod.load_scene(SCENE, dataset="APC")
+
+    def fake_predictor(color, class_ids):
+        return {c: (sc.class_mask == c).astype(np.float32) for c in class_ids}
+
+    result = api.estimate_pose(
+        SCENE, db, dataset="APC",
+        segmentation_mode="FCNThreshold",
+        verification_mode="LCP",
+        cfg=SMALL_CFG, seed=0, write_result=False,
+        nn_predictor=fake_predictor,
+    )
+    # background prob = zeros -> threshold keeps everything; same as GT.
+    assert len(result.objects) == 3
+    assert all(o.score > 0.05 for o in result.objects)
+
+
+def test_rcnn_path_with_cluster_detector(db):
+    """RCNN strategy wiring: the weights-free depth-cluster detector."""
+    import jax
+    import jax.numpy as jnp2
+
+    from physimglobalpose_tpu.pipeline import detector as det_mod
+    from physimglobalpose_tpu.pipeline import scene as sm
+
+    sc = scene_mod.load_scene(SCENE, dataset="APC")
+    depth_clean, _, _ = sm.remove_table(
+        jnp2.asarray(sc.depth), jnp2.asarray(sc.intrinsics), jax.random.key(0),
+        SMALL_CFG,
+    )
+    depth_np = np.asarray(depth_clean)
+    detector = det_mod.make_size_matching_detector(
+        db, lambda: (depth_np, sc.intrinsics)
+    )
+    result = api.estimate_pose(
+        SCENE, db, dataset="APC",
+        segmentation_mode="RCNN",
+        verification_mode="LCP",
+        cfg=SMALL_CFG, seed=0, write_result=False,
+        detector=detector,
+    )
+    assert len(result.objects) == 3
+    # Rectangular masks are crude; at least some objects should still match.
+    assert sum(o.score > 0.03 for o in result.objects) >= 1
