@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--trace", default=None, help="write JSON trace to this path")
     p.add_argument("--result", default=None,
                    help="result.txt path (default: scene dir, or cwd if read-only)")
+    p.add_argument("--debug-dir", default=None,
+                   help="dump per-object debug artifacts (segments, prob images, overlays)")
     p.add_argument("--preset", default="default", choices=["default", "small"],
                    help="'small' shrinks the static-shape caps (fast compile/CPU)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -82,6 +84,7 @@ def main(argv=None):
             cfg=cfg,
             seed=args.seed + rep,
             result_path=args.result,
+            debug_dir=args.debug_dir,
         )
         if args.repeat > 1:
             print(f"[rep {rep}] scene time: {_time.perf_counter() - t0:.3f}s")

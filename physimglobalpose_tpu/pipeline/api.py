@@ -77,12 +77,16 @@ def estimate_pose(
     top_k: int = 25,
     write_result: bool = True,
     result_path: Optional[str] = None,
+    debug_dir: Optional[str] = None,
 ) -> PoseEstimationResult:
     """Estimate 6D poses for every object in a scene.
 
     Mirrors estimatePose (main.cpp:86-171): load scene -> remove table ->
     segment -> per-object hypothesis generation -> selection -> world frame.
     """
+    from physimglobalpose_tpu.utils.debug import DebugDump
+
+    dbg = DebugDump(debug_dir)
     tracer = get_tracer()
     timings: Dict[str, float] = {}
     t0 = time.perf_counter()
@@ -97,6 +101,7 @@ def estimate_pose(
             jnp.asarray(sc.depth), jnp.asarray(sc.intrinsics), k_table, cfg
         )
     timings["preprocess_s"] = time.perf_counter() - t0
+    dbg.depth("depth_clean", depth_clean)
 
     with trace_span(tracer, "segmentation"):
         class_ids = [db.class_of(n) for n in sc.object_names]
@@ -245,6 +250,19 @@ def estimate_pose(
         timings["mcts_s"] = time.perf_counter() - t_mcts
     elif verification_mode != "LCP":
         raise ValueError(f"unknown verification mode {verification_mode!r}")
+
+    if dbg.enabled:
+        for est in estimates:
+            obj = db[est.name]
+            dbg.prob_image(est.name, prob_images[obj.class_id])
+            dbg.hypotheses(est.name, est.hypotheses, est.hypothesis_scores)
+            dbg.info(est.name, {"score": est.score,
+                                "pose_world": est.pose_world.tolist()})
+        dbg.overlay(
+            "final_overlay", sc.color, sc.intrinsics,
+            [db[e.name].validation_pts[:1024] for e in estimates],
+            [e.pose_cam for e in estimates],
+        )
 
     timings["total_s"] = time.perf_counter() - t0
     result = PoseEstimationResult(objects=estimates, timings=timings)
