@@ -119,3 +119,31 @@ def make_size_matching_detector(db, depth_provider):
         return out
 
     return detector
+
+
+def nms_boxes(
+    boxes: np.ndarray, scores: np.ndarray, iou_threshold: float = 0.3
+) -> np.ndarray:
+    """Greedy non-maximum suppression over [N, 4] (tl_x, tl_y, br_x, br_y).
+
+    The detection package's core post-processing (the reference vendors CPU/
+    Cython/CUDA variants of exactly this, rcnn lib/nms/*). Returns kept
+    indices in descending score order.
+    """
+    boxes = np.asarray(boxes, np.float64)
+    scores = np.asarray(scores, np.float64)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = np.maximum(x2 - x1 + 1, 0) * np.maximum(y2 - y1 + 1, 0)
+    order = np.argsort(-scores)
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = np.maximum(xx2 - xx1 + 1, 0) * np.maximum(yy2 - yy1 + 1, 0)
+        iou = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][iou <= iou_threshold]
+    return np.asarray(keep, np.int64)

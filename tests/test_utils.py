@@ -89,3 +89,19 @@ def test_detector_clusters():
     (tlx, tly, brx, bry), extent = boxes[0]
     assert tlx <= 8 + 3 and tly <= 8 + 3  # covers object A
     assert 0.05 < extent < 0.2
+
+
+def test_nms_boxes():
+    from physimglobalpose_tpu.pipeline.detector import nms_boxes
+
+    boxes = np.array([
+        [0, 0, 10, 10],     # A
+        [1, 1, 11, 11],     # overlaps A heavily
+        [50, 50, 60, 60],   # B, far away
+        [0, 0, 10, 10],     # duplicate of A
+    ])
+    scores = np.array([0.9, 0.8, 0.7, 0.95])
+    keep = nms_boxes(boxes, scores, iou_threshold=0.3)
+    assert list(keep)[0] == 3  # highest score first
+    assert 2 in keep  # far box survives
+    assert 0 not in keep and 1 not in keep  # suppressed by the duplicate
