@@ -278,7 +278,8 @@ def uct_search(
     return best_assign, best_cost
 
 
-def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0):
+def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
+                snapshot_path=None):
     """MCTSSelection::selectBestPoses analogue: refine per-object pose choice
     by physics-aware search; installs the best state's poses + settled poses."""
     k = len(estimates)
@@ -321,6 +322,10 @@ def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0):
         cfg,
     )
     assign, best_cost = uct_search(evaluator, hyp_scores, cfg, seed=seed)
+    if snapshot_path:
+        from physimglobalpose_tpu.utils.checkpoint import save_search_snapshot
+
+        save_search_snapshot(snapshot_path, sc.scene_dir, assign, best_cost, seed)
 
     # Final pass: settle the chosen assignment and read back poses.
     choices = assign[None, :]

@@ -93,3 +93,17 @@ def trace_span(tracer: Tracer, name: str):
         yield
     finally:
         tracer.finish()
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a device-level trace (TensorBoard format) around a block.
+
+    The structured-span Tracer covers host phases; this wraps
+    jax.profiler.trace for kernel-level timelines (the deep-profiling story
+    the reference lacks entirely).
+    """
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield

@@ -45,9 +45,30 @@ def test_sharded_lcp_matches_single_device(mesh8, rng):
 
 
 def test_dryrun_multichip():
-    import __graft_entry__
+    # Run in a subprocess: XLA's CPU collective rendezvous hard-aborts the
+    # whole process when this starved host stalls past its internal timeout
+    # (a flaky SIGABRT that would kill the suite); isolate + retry once.
+    import subprocess
+    import sys
 
-    __graft_entry__.dryrun_multichip(8)
+    script = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import os;"
+        "os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS','')"
+        " + ' --xla_force_host_platform_device_count=8';"
+        "import __graft_entry__; __graft_entry__.dryrun_multichip(8);"
+        "print('dryrun-ok')"
+    )
+    for attempt in range(2):
+        r = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=900, cwd="/root/repo",
+        )
+        if r.returncode == 0 and "dryrun-ok" in r.stdout:
+            return
+    raise AssertionError(
+        f"dryrun failed twice: rc={r.returncode}; stderr tail: {r.stderr[-1500:]}"
+    )
 
 
 def test_entry_compiles():
