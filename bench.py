@@ -25,7 +25,7 @@ from physimglobalpose_tpu.ops import scoring
 
 BASELINE_HYPS_PER_SEC = 250.0  # single-thread C++ kd-tree verify (see docstring)
 
-H = 8192  # hypotheses per batch
+H = 16384  # hypotheses per batch
 NV = 4096  # dense validation cloud (max_validation_points)
 NM = 1024  # sparse ICP model cloud (max_model_points)
 NS = 1024  # segment size (max_segment_points)
@@ -90,7 +90,7 @@ def main():
             {
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
-                "unit": "hyp/s (coarse-LCP@512 -> ICP-10it@512 top-1024 -> fine-LCP@4k, H=8192)",
+                "unit": "hyp/s (coarse-LCP@512 -> ICP-10it@512 top-1024 -> fine-LCP@4k, H=16384)",
                 "vs_baseline": round(hyps_per_sec / BASELINE_HYPS_PER_SEC, 2),
             }
         )
