@@ -75,6 +75,7 @@ def estimate_pose(
     nn_predictor=None,
     detector=None,
     top_k: int = 25,
+    refine_final: bool = True,
     write_result: bool = True,
     result_path: Optional[str] = None,
     debug_dir: Optional[str] = None,
@@ -83,6 +84,10 @@ def estimate_pose(
 
     Mirrors estimatePose (main.cpp:86-171): load scene -> remove table ->
     segment -> per-object hypothesis generation -> selection -> world frame.
+    refine_final adds a batched point-to-plane ICP polish of each selected
+    pose (the reference keeps its equivalent refinement commented out,
+    HypothesisSelection.cpp:120-151; here it is first-class and on by
+    default - disable for strict reference behavior).
     """
     from physimglobalpose_tpu.utils.debug import DebugDump
 
@@ -144,6 +149,10 @@ def estimate_pose(
                 for i, o in enumerate(objs)
             ]
             segs = jax.tree.map(lambda *xs: jnp.stack(xs), *segs_list)
+            segs_by_name = {
+                n: jax.tree.map(lambda x: x[i], segs)
+                for i, n in enumerate(sc.object_names)
+            }
             stacked = hypothesis.stack_object_tables([o.ppf_table for o in objs])
             res_b = hypothesis.generate_hypotheses_batch(
                 seg_keys[-1], segs,
@@ -177,6 +186,7 @@ def estimate_pose(
         object_names_left = []
     else:
         object_names_left = list(sc.object_names)
+        segs_by_name = {}
 
     for name in object_names_left:
         obj = db[name]
@@ -184,6 +194,7 @@ def estimate_pose(
             k_seg, k_hyp, key = jax.random.split(key, 3)
             prob = jnp.asarray(prob_images[obj.class_id])
             seg = segmentation.compute_3d_segment(depth_clean, prob, intr, k_seg, cfg)
+            segs_by_name[name] = seg
             if hypothesis_mode in ("PPF_VOTING", "Hough"):
                 res = hypothesis.generate_hypotheses_voting(
                     k_hyp,
@@ -224,6 +235,36 @@ def estimate_pose(
                 )
             )
     timings["hypothesis_s"] = time.perf_counter() - t_hyp
+
+    if refine_final:
+        from physimglobalpose_tpu.ops import icp as icp_mod
+
+        with trace_span(tracer, "icp_refine"):
+            t_icp = time.perf_counter()
+            for i, est in enumerate(estimates):
+                if est.score <= 0:
+                    continue  # degenerate segment -> identity pose, skip
+                obj = db[est.name]
+                seg = segs_by_name[est.name]
+                refined = icp_mod.refine_icp(
+                    jnp.asarray(est.pose_cam)[None],
+                    jnp.asarray(obj.validation_pts[:1024]),
+                    jnp.asarray(obj.validation_nrm[:1024]),
+                    seg.pts, seg.mask,
+                    iters=cfg.icp.iters,
+                    trim_fraction=cfg.icp.trim_fraction,
+                    max_corr_dist=cfg.icp.max_corr_dist,
+                    point_to_plane=cfg.icp.point_to_plane,
+                )
+                pose_cam = np.asarray(refined[0])
+                estimates[i] = dataclasses.replace(
+                    est,
+                    pose_cam=pose_cam,
+                    pose_world=np.asarray(
+                        se3.to_world(jnp.asarray(pose_cam), jnp.asarray(sc.cam_pose))
+                    ),
+                )
+            timings["icp_refine_s"] = time.perf_counter() - t_icp
 
     if verification_mode == "MCTS":
         from physimglobalpose_tpu.pipeline.mcts import mcts_select

@@ -208,3 +208,26 @@ def test_batched_objects_match_individual(box_assets, rng):
             np.asarray(batch.best_transform[i]),
             np.asarray(single.best_transform), atol=1e-5,
         )
+
+
+def test_base_sampling_follows_probability_weighting(box_assets, rng):
+    """Draw 1 of the StoCS base points many times: high-probability points
+    must be picked proportionally more often (the segmentation prior,
+    match4pcsBase.cc:612-614)."""
+    mpts, mnrm, table = box_assets
+    seg_pts, seg_nrm, _ = make_segment(rng, mpts, mnrm, n_seg=120)
+    n = len(seg_pts)
+    prob = np.full(n, 0.1, np.float32)
+    prob[:20] = 1.0  # 20 high-prior points
+    bases = sampling.sample_bases(
+        jax.random.key(11),
+        jnp.asarray(seg_pts), jnp.asarray(seg_nrm),
+        jnp.asarray(prob), jnp.ones(n, bool), table, num_bases=256,
+    )
+    # indices are TryQuadrilateral-reordered, so check all four slots: every
+    # draw's weight multiplies the prior, so high-prior points dominate.
+    idx = np.asarray(bases.indices)[np.asarray(bases.valid)]
+    frac_high = (idx < 20).mean()
+    # First-draw mass of the high block alone is 20/(20+100*0.1) = 2/3;
+    # later PPF-gated draws dilute it, so expect well above uniform (1/6).
+    assert frac_high > 0.4, frac_high
