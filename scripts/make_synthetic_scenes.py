@@ -50,6 +50,16 @@ def main(argv=None):
         [[613.998, 0.0, 320.0], [0.0, 613.998, 240.0], [0.0, 0.0, 1.0]], np.float32
     )
     h, w = 480, 640
+    # Camera 'table_z' meters above the world table plane, looking straight
+    # down: world gravity (-z) then points INTO the observed surface, so the
+    # physics-aware verification stage is meaningful. camera-to-world:
+    # x_cam -> +x, y_cam -> -y, z_cam -> -z (right-handed).
+    cam_height = 1.5
+    cam_pose = np.array(
+        [[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, cam_height], [0, 0, 0, 1]],
+        np.float32,
+    )
+    table_z_world = cam_height - args.table_z
     mesh = assets.load_mesh(os.path.join(args.model_dir, args.object + ".ply"))
     mesh = assets.decimate_to_max_faces(mesh, 4000)
     half_height = (mesh.vertices[:, 2].max() - mesh.vertices[:, 2].min()) / 2
@@ -87,21 +97,23 @@ def main(argv=None):
         Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(
             os.path.join(sd, "frame-000000.color.png")
         )
-        q = Rotation.from_matrix(rot).as_quat()  # [x,y,z,w]
+        pose_world = cam_pose @ pose
+        t_w = pose_world[:3, 3]
+        q = Rotation.from_matrix(pose_world[:3, :3]).as_quat()  # [x,y,z,w]
         with open(os.path.join(sd, "gt_info.yml"), "w") as fh:
             fh.write(
                 "camera:\n"
-                "  camera_pose: [0, 0, 0, 1, 0, 0, 0]\n"
+                "  camera_pose: [0, 0, 1.5, 0, 1, 0, 0]\n"
                 f"  camera_intrinsics: [[{intr[0,0]}, 0.0, {intr[0,2]}],"
                 f"[0.0, {intr[1,1]}, {intr[1,2]}],[0.0, 0.0, 1.0]]\n"
                 "rest_surface:\n"
                 "  type: table\n"
-                f"  surface_pose: [0, 0, {args.table_z}, 1, 0, 0, 0]\n"
+                f"  surface_pose: [0, 0, {table_z_world}, 1, 0, 0, 0]\n"
                 "scene:\n"
                 "  num_objects: 1\n"
                 "  object_1:\n"
                 f"    name: '{args.object}'\n"
-                f"    pose: [{t[0]}, {t[1]}, {t[2]}, {q[3]}, {q[0]}, {q[1]}, {q[2]}]\n"
+                f"    pose: [{t_w[0]}, {t_w[1]}, {t_w[2]}, {q[3]}, {q[0]}, {q[1]}, {q[2]}]\n"
             )
         print(f"wrote {sd}")
 
