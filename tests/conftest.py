@@ -16,6 +16,11 @@ if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
+# The CPU collective rendezvous hard-aborts the process after 40 s; on this
+# starved host the 8-virtual-device all-reduce threads can miss that under
+# load. Raise it well past any realistic stall.
+if "--xla_cpu_collective_timeout_seconds" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] += " --xla_cpu_collective_timeout_seconds=600"
 # Persistent compile cache: XLA compilation dominates test wall-time on CPU.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 

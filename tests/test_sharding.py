@@ -55,7 +55,8 @@ def test_dryrun_multichip():
         "import jax; jax.config.update('jax_platforms', 'cpu');"
         "import os;"
         "os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS','')"
-        " + ' --xla_force_host_platform_device_count=8';"
+        " + ' --xla_force_host_platform_device_count=8"
+        " --xla_cpu_collective_timeout_seconds=600';"
         "import __graft_entry__; __graft_entry__.dryrun_multichip(8);"
         "print('dryrun-ok')"
     )
