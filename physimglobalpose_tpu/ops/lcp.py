@@ -369,10 +369,6 @@ def _lcp_kernel_wide(
 
     a_pos = model_ref[:, :]
 
-    scal = []
-    for hi in range(th):
-        scal.append([tr_ref[hi, k] for k in range(12)])
-
     def seg_tile(si, carry):
         run_min, run_prob, run_dot = carry  # [nv_tile, TH] each
         rows = pl.ds(si * ns_tile, ns_tile)
@@ -392,7 +388,12 @@ def _lcp_kernel_wide(
         b1_blocks = []
         b2_blocks = []
         for hi in range(th):
-            r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2 = scal[hi]
+            # scalar reads INSIDE the loop: hoisting 96 of them outside blew
+            # Mosaic's scalar allocation (compiler subprocess crash).
+            r = [tr_ref[hi, k] for k in range(12)]
+            r00, r01, r02, t0 = r[0], r[1], r[2], r[3]
+            r10, r11, r12, t1 = r[4], r[5], r[6], r[7]
+            r20, r21, r22, t2 = r[8], r[9], r[10], r[11]
             dx = sx - t0
             dy = sy - t1
             dz = sz - t2
