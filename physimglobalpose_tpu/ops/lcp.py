@@ -284,6 +284,8 @@ def lcp_scores_pallas(
     if wide:
         kernel = _lcp_kernel_wide
         ns_tile = min(ns_tile, 128)  # lane-aligned slices; N = TH*128 = 1024
+        nv_tile = min(nv_tile, 1024)  # d2+ndot at [nv_tile, TH*ns] must fit VMEM
+        pad_nv = (-nv) % nv_tile
     else:
         kernel = _lcp_kernel
     out = pl.pallas_call(
@@ -456,11 +458,14 @@ def _lcp_kernel_wide(
         jnp.zeros((nv_tile, 128), jnp.float32),
     )
     run_min, run_prob, run_dot = jax.lax.fori_loop(0, ns // ns_tile, seg_tile, init)
-    within = run_min <= delta * delta
+    within_f = (run_min <= delta * delta).astype(jnp.float32)
     if weighted:
-        contrib = jnp.where(within & (run_dot >= cos_gate), run_prob, 0.0)
+        # multiplicative gates instead of a fused 3-operand boolean where
+        # (the fused form crashes the Mosaic compiler on v5e)
+        gate_f = (run_dot >= cos_gate).astype(jnp.float32)
+        contrib = within_f * gate_f * run_prob
     else:
-        contrib = within.astype(jnp.float32)
+        contrib = within_f
     partial = jnp.sum(contrib, axis=0, keepdims=True) / total_nv  # [1, 128]
     rows = jnp.concatenate(
         [jnp.full((1, 128), partial[0, hi], jnp.float32) for hi in range(th)], axis=0
