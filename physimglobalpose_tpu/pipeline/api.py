@@ -266,7 +266,7 @@ def estimate_pose(
                 )
             timings["icp_refine_s"] = time.perf_counter() - t_icp
 
-    if verification_mode == "MCTS":
+    if verification_mode in ("MCTS", "GREEDY"):
         from physimglobalpose_tpu.pipeline.mcts import mcts_select
 
         # remove_table fits the plane in CAMERA frame; physics needs the
@@ -286,9 +286,10 @@ def estimate_pose(
         t_mcts = time.perf_counter()
         with trace_span(tracer, "mcts"):
             estimates = mcts_select(
-                estimates, sc, db, np.asarray(table_pose_world), depth_clean, cfg, seed=seed
+                estimates, sc, db, np.asarray(table_pose_world), depth_clean, cfg,
+                seed=seed, search="greedy" if verification_mode == "GREEDY" else "uct",
             )
-        timings["mcts_s"] = time.perf_counter() - t_mcts
+        timings["search_s"] = time.perf_counter() - t_mcts
     elif verification_mode != "LCP":
         raise ValueError(f"unknown verification mode {verification_mode!r}")
 

@@ -279,7 +279,7 @@ def uct_search(
 
 
 def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
-                snapshot_path=None):
+                snapshot_path=None, search="uct"):
     """MCTSSelection::selectBestPoses analogue: refine per-object pose choice
     by physics-aware search; installs the best state's poses + settled poses."""
     k = len(estimates)
@@ -321,7 +321,12 @@ def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
         table_pose,
         cfg,
     )
-    assign, best_cost = uct_search(evaluator, hyp_scores, cfg, seed=seed)
+    if search == "greedy":
+        from physimglobalpose_tpu.pipeline.greedy_search import greedy_bfs_search
+
+        assign, best_cost = greedy_bfs_search(evaluator, hyp_scores, cfg)
+    else:
+        assign, best_cost = uct_search(evaluator, hyp_scores, cfg, seed=seed)
     if snapshot_path:
         from physimglobalpose_tpu.utils.checkpoint import save_search_snapshot
 
