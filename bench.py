@@ -8,13 +8,17 @@ production scoring pipeline (ops/scoring.py): coarse weighted-LCP over all H
 (1/4-subsampled validation cloud), batched trimmed point-to-plane ICP on the
 top 1024 survivors, full-resolution weighted-LCP rescoring. The reference
 does the equivalent serially: per-transform kd-tree NN loops
-(match4pcsBase.cc:1699-1766) inside a 2 s/object budget; measured
-single-thread C++ kd-tree throughput on these cloud sizes is ~250
-hypotheses/sec (1M NN queries/sec over a 4096-point validation cloud), which
-is the vs_baseline denominator.
+(match4pcsBase.cc:1699-1766) inside a 2 s/object budget.
+
+The vs_baseline denominator is MEASURED, not assumed: BASELINE_MEASURED.json
+is produced by `python scripts/measure_baseline.py`, which compiles and runs
+scripts/baseline_kdtree.cc - a single-thread C++ re-derivation of
+WeightedVerify at these exact shapes (NV=4096 queries vs an NS=1024-point
+kd-tree, delta=0.005) - and records the number with provenance.
 """
 
 import json
+import pathlib
 import time
 
 import jax
@@ -23,7 +27,15 @@ import numpy as np
 
 from physimglobalpose_tpu.ops import scoring
 
-BASELINE_HYPS_PER_SEC = 250.0  # single-thread C++ kd-tree verify (see docstring)
+_FALLBACK_BASELINE = 2041.7  # scripts/measure_baseline.py on the 2026-08 host
+
+
+def baseline_hyps_per_sec() -> float:
+    p = pathlib.Path(__file__).resolve().parent / "BASELINE_MEASURED.json"
+    try:
+        return float(json.loads(p.read_text())["baseline_hyps_per_sec"])
+    except (OSError, KeyError, ValueError):
+        return _FALLBACK_BASELINE
 
 H = 16384  # hypotheses per batch
 NV = 4096  # dense validation cloud (max_validation_points)
@@ -91,7 +103,7 @@ def main():
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
                 "unit": "hyp/s (coarse-LCP@512 -> ICP-10it@512 top-1024 -> fine-LCP@4k, H=16384)",
-                "vs_baseline": round(hyps_per_sec / BASELINE_HYPS_PER_SEC, 2),
+                "vs_baseline": round(hyps_per_sec / baseline_hyps_per_sec(), 2),
             }
         )
     )

@@ -143,6 +143,10 @@ class MCTSConfig:
     branching: int = 25
     point_removal_threshold: float = 0.008
     leaf_batch: int = 16  # leaves evaluated per device dispatch
+    # Hard cap on expansions. Deviation from the reference's sum_i 25^i
+    # stopping criterion (UCTSearch.cpp:290-294), which for k>=3 objects is
+    # never the binding constraint anyway (60 s wall clock cuts first).
+    max_expansions: int = 2000
 
 
 @dataclasses.dataclass(frozen=True)

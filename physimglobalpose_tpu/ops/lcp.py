@@ -225,7 +225,7 @@ def _score_one(a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv, s
 
 @functools.partial(
     jax.jit,
-    static_argnames=("delta", "normal_gate_deg", "weighted", "h_tile", "ns_tile", "wide"),
+    static_argnames=("delta", "normal_gate_deg", "weighted", "ns_tile", "wide"),
 )
 def lcp_scores_pallas(
     transforms: jnp.ndarray,
@@ -238,7 +238,6 @@ def lcp_scores_pallas(
     delta: float = 0.005,
     normal_gate_deg: float = 30.0,
     weighted: bool = True,
-    h_tile: int = 128,
     ns_tile: int = 256,
     wide: bool = False,  # EXPERIMENTAL: crashes the Mosaic compiler on v5e
 ) -> jnp.ndarray:
@@ -249,7 +248,7 @@ def lcp_scores_pallas(
     nv = model_pts.shape[0]
     ns = seg_pts.shape[0]
     pad_ns = (-ns) % ns_tile
-    h_tile = 8  # sublane tile: 8 hypotheses per grid program
+    h_tile = 8  # sublane tile: 8 hypotheses per grid program (internal constant)
     pad_h = (-h) % h_tile
     nv_tile = min(2048, nv)
     pad_nv = (-nv) % nv_tile

@@ -44,6 +44,12 @@ class PhysicsScene(NamedTuple):
     inv_inertia: jnp.ndarray  # [K, 3] diagonal body-frame inverse inertia
     table_pose: jnp.ndarray  # [4, 4] world
     table_half_extents: jnp.ndarray  # [3]
+    # [K] bool, or None = all active. An inactive body is absent from the
+    # world entirely: no contacts in either role (its hull_eqs would
+    # otherwise act as an invisible static collider for other bodies, which
+    # is wrong for partial placements - the reference's correctPhysics only
+    # adds placed objects to the Bullet world, UCTState.cpp:208-270).
+    body_active: jnp.ndarray | None = None
 
 
 def box_inv_inertia(hull_pts: jnp.ndarray, hull_mask: jnp.ndarray, mass: float) -> jnp.ndarray:
@@ -80,12 +86,19 @@ def _integrate_quat(q, omega, dt):
     return q2 / jnp.maximum(jnp.linalg.norm(q2, axis=-1, keepdims=True), 1e-12)
 
 
-def _apply_contact(pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth, active):
+def _apply_contact(
+    pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth, active,
+    friction=1.0, restitution=0.0,
+):
     """Positional contact resolution at world point pos+r with normal n.
 
     Pushes the body along n by depth (single-body vs static other side).
     Returns updated (pos, quat, linvel, angvel) with friction damping on the
-    contact-point velocity.
+    contact-point velocity. Material model (PhySim.cpp:53-79 semantics):
+    restitution e reflects the inward normal velocity to -e*vn (e=0 kills
+    it); friction mu removes min(1, 0.8*mu) of the tangential contact-point
+    velocity per solve (mu=1 reproduces the settle behavior validated against
+    the reference's Bullet envelope; mu=0 is frictionless).
     """
     rot = se3.quat_to_matrix(quat)  # [3,3]
     inv_i_world = rot @ jnp.diag(inv_inertia) @ rot.T
@@ -96,15 +109,17 @@ def _apply_contact(pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth
     new_pos = pos + p * inv_mass
     dw = inv_i_world @ jnp.cross(r, p)
     new_quat = _integrate_quat(quat, dw, 1.0)
-    # Kill the normal-inward contact-point velocity (restitution 0) and damp
-    # tangential velocity (friction ~ 1.0).
     v_pt = linvel + jnp.cross(angvel, r)
     vn = jnp.dot(v_pt, n)
-    v_norm_fix = jnp.where(active & (vn < 0), -vn, 0.0) * n
+    v_norm_fix = jnp.where(active & (vn < 0), -(1.0 + restitution) * vn, 0.0) * n
     v_tan = v_pt - jnp.dot(v_pt, n) * n
-    v_tan_fix = jnp.where(active, -0.8 * v_tan, jnp.zeros(3))
+    tan_coeff = jnp.clip(0.8 * friction, 0.0, 1.0)
+    v_tan_fix = jnp.where(active, -tan_coeff * v_tan, jnp.zeros(3))
     dv = v_norm_fix + v_tan_fix
     new_linvel = linvel + jnp.where(inv_mass > 0, dv, jnp.zeros(3))
+    # The 0.5 under-relaxes the angular velocity correction; full-strength
+    # coupling makes single-point contact patches ring (solver stabilization
+    # constant, not a material parameter).
     new_angvel = angvel + jnp.where(
         inv_mass > 0, inv_i_world @ jnp.cross(r, dv) * 0.5, jnp.zeros(3)
     )
@@ -117,7 +132,10 @@ def _apply_contact(pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth
     )
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "substeps", "dt", "gravity", "damping"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "substeps", "dt", "gravity", "damping", "friction", "restitution"),
+)
 def settle(
     scene: PhysicsScene,
     init_quat: jnp.ndarray,  # [K, 4] world
@@ -127,6 +145,8 @@ def settle(
     dt: float = 1.0 / 60.0,
     gravity: float = -2.0,
     damping: float = 0.99,
+    friction: float = 1.0,
+    restitution: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Settle K bodies; returns (quat [K, 4], pos [K, 3])."""
     k, p_max = scene.hull_pts.shape[:2]
@@ -196,9 +216,12 @@ def settle(
             r, n, depth, act = table_contact(
                 q_[i], p_[i], scene.hull_pts[i], scene.hull_mask[i]
             )
+            if scene.body_active is not None:
+                act = act & scene.body_active[i]
             new_pos, new_quat, nlv, nav = _apply_contact(
                 p_[i], q_[i], lv_[i], av_[i],
                 scene.inv_mass[i], scene.inv_inertia[i], r, n, depth, act,
+                friction=friction, restitution=restitution,
             )
             return (
                 q_.at[i].set(new_quat),
@@ -221,9 +244,15 @@ def settle(
                 q_[b], p_[b], scene.hull_eqs[b],
             )
             act = act & (a != b)
+            if scene.body_active is not None:
+                # Inactive bodies must not collide in either role: a's side
+                # is already masked via hull_mask, but b's hull_eqs would
+                # otherwise act as an invisible static collider.
+                act = act & scene.body_active[a] & scene.body_active[b]
             new_pos, new_quat, nlv, nav = _apply_contact(
                 p_[a], q_[a], lv_[a], av_[a],
                 scene.inv_mass[a], scene.inv_inertia[a], r, n, depth, act,
+                friction=friction, restitution=restitution,
             )
             return (
                 q_.at[a].set(new_quat),

@@ -46,10 +46,16 @@ def greedy_bfs_search(
 
     while frontier and iters < max_iters:
         cost, _, depth, prefix = heapq.heappop(frontier)
+        # Prefix costs are NOT admissible lower bounds (placing an object can
+        # explain observed pixels and *lower* render_cost), so the first
+        # complete pop need not be optimal. Keep searching until the frontier
+        # minimum (this pop, by heap order) exceeds the best complete cost.
+        if best_complete is not None and cost >= best_complete[1]:
+            break
         if depth == k:
             if best_complete is None or cost < best_complete[1]:
                 best_complete = (np.asarray(prefix, np.int64), float(cost))
-            break  # best-first: first complete pop is optimal under the heuristic
+            continue
         # Expand: all C children in one batch.
         child_choices = np.full((c, k), -1, np.int64)
         for j in range(c):

@@ -146,6 +146,11 @@ class BatchedLeafEvaluator:
                 inv_inertia=self.scene_const["inv_inertia"],
                 table_pose=self.table_pose,
                 table_half_extents=jnp.asarray(ph.table_half_extents),
+                # Unplaced objects must not collide in either role (their
+                # hull_eqs would act as invisible static colliders at the
+                # clipped hypothesis-0 pose); reference correctPhysics only
+                # adds placed objects to the world (UCTState.cpp:208-270).
+                body_active=active_row,
             )
             quat = se3.matrix_to_quat(poses_w[:, :3, :3])
             pos = poses_w[:, :3, 3]
@@ -153,6 +158,7 @@ class BatchedLeafEvaluator:
                 scene, quat, pos,
                 steps=ph.steps, substeps=ph.substeps, dt=ph.dt,
                 gravity=ph.gravity, damping=ph.damping,
+                friction=ph.friction, restitution=ph.restitution,
             )
             settled_w = se3.pose_from_rot_trans(se3.quat_to_matrix(q2), p2)
             # Render all placed objects in camera frame, composite.
@@ -196,9 +202,14 @@ def uct_search(
     rng = np.random.default_rng(seed)
     root = _Node(depth=0, choice=-1, parent=None, children={})
 
-    # Budget: sum_i branching^i expansions (UCTSearch.cpp:292-294), capped.
-    budget = sum(c**i for i in range(1, k + 1))
-    budget = min(budget, max_iterations or 2000)
+    # Budget: sum_{i=0}^{k} branching^i expansions (UCTSearch.cpp:290-294;
+    # the reference loop is `for ii=0; ii<=numObjects` so the i=0 term
+    # counts), capped by cfg.mcts.max_expansions - a documented deviation:
+    # 25^3+ expansions are intractable serially and unnecessary with batched
+    # leaf evaluation, and the reference's own 60 s wall-clock cut typically
+    # binds first anyway.
+    budget = sum(c**i for i in range(0, k + 1))
+    budget = min(budget, max_iterations or mc.max_expansions)
     deadline = time.monotonic() + mc.max_search_seconds
 
     best_cost = math.inf

@@ -112,8 +112,12 @@ def test_pallas_interpret_matches_xla(rng):
     orig_call = pl.pallas_call
     with mock.patch.object(pl, "pallas_call", functools.partial(orig_call, interpret=True)):
         got = np.asarray(
-            lcp.lcp_scores_pallas.__wrapped__(*args, h_tile=2, ns_tile=64)
+            lcp.lcp_scores_pallas.__wrapped__(*args, ns_tile=64)
         )
+    # atol tolerance also covers the documented tie-break difference: on
+    # exact NN-distance ties the kernel takes max prob / max |normal-dot|
+    # across tied points while the XLA path uses the single argmin point
+    # (ADVICE r1); random float coordinates make exact ties measure-zero.
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 

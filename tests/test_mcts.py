@@ -92,6 +92,28 @@ def test_evaluator_prefers_true_pose(setup):
     assert np.linalg.norm(settled[0, 0][:3, 3] - true_pose[:3, 3]) < 0.04
 
 
+def test_unplaced_object_does_not_collide(setup):
+    # Partial assignment (-1 choice): the unplaced object's hypothesis-0 pose
+    # sits directly under the placed object's fall path. It must NOT act as
+    # an invisible static collider (ADVICE r1 medium): the placed box settles
+    # on the table at its hypothesis height, not on top of the phantom.
+    cfg, obj, obs, true_pose, table_pose, cam_pose = setup
+    blocker = true_pose.copy()  # phantom directly below the placed object
+    blocker[:3, 3] = [0.0, 0.0, 0.89]
+    placed = true_pose.copy()
+    placed[:3, 3] = [0.0, 0.0, 0.97]
+    hyps = np.stack([np.stack([blocker, blocker]), np.stack([placed, placed])])
+    ev = mcts.BatchedLeafEvaluator(
+        [obj, obj], hyps, obs, K_INTR, cam_pose, table_pose, cfg, render_scale=1
+    )
+    choices = np.array([[-1, 0]])  # object 0 unplaced, object 1 at `placed`
+    active = choices >= 0
+    _, settled = ev.evaluate(choices, active)
+    # Falls through the phantom to rest on the table: z = 0.86 + 0.03 = 0.89.
+    z = settled[0, 1][2, 3]
+    np.testing.assert_allclose(z, 0.89, atol=0.02)
+
+
 def test_uct_search_picks_matching_hypothesis(setup):
     cfg, obj, obs, true_pose, table_pose, cam_pose = setup
     decoy = true_pose.copy()

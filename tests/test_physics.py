@@ -105,6 +105,64 @@ def test_settle_batch_shapes():
     assert q2.shape == (4, 1, 4) and p2.shape == (4, 1, 3)
 
 
+def test_inactive_body_is_not_a_collider():
+    # Body 0 inactive but positioned exactly where body 1 must fall through:
+    # an inactive body must not act as an invisible static collider (its
+    # hull_eqs are gated by body_active). Regression for ADVICE r1 (medium).
+    scene = make_scene(k=2, mass=(0.0, 10.0), sizes=((0.08,) * 3, (0.04,) * 3))
+    scene = scene._replace(
+        body_active=jnp.asarray([False, True]),
+        hull_mask=scene.hull_mask & jnp.asarray([False, True])[:, None],
+    )
+    quat = jnp.asarray([[1.0, 0, 0, 0], [1.0, 0, 0, 0]])
+    # Inactive big box centered at 0.54 (top at 0.58); small box dropped
+    # from above would rest at 0.60 on it if it (wrongly) collided.
+    pos = jnp.asarray([[0.0, 0.0, 0.54], [0.003, -0.002, 0.70]])
+    _, p2 = physics.settle(scene, quat, pos, steps=150)
+    # Small box must fall through to the table: z = 0.5 + 0.02 = 0.52.
+    np.testing.assert_allclose(np.asarray(p2)[1][2], 0.52, atol=0.015)
+
+
+def test_friction_config_controls_sliding():
+    # On a tilted table, a frictionless box slides further downhill than a
+    # friction=1 box (regression: friction/restitution were dead config).
+    import math
+
+    tilt = math.radians(10.0)
+    table_pose = np.eye(4, dtype=np.float32)
+    table_pose[:3, :3] = np.array(
+        [[math.cos(tilt), 0, math.sin(tilt)], [0, 1, 0],
+         [-math.sin(tilt), 0, math.cos(tilt)]], np.float32,
+    )
+    table_pose[2, 3] = 0.3
+    scene = make_scene()._replace(table_pose=jnp.asarray(table_pose))
+    # wxyz quaternion: rotate about +y by tilt so the box lies flat on the slope.
+    quat = jnp.asarray([[math.cos(tilt / 2), 0.0, math.sin(tilt / 2), 0.0]])
+    pos = jnp.asarray([[0.0, 0.0, 0.56]])
+    _, p_fric = physics.settle(scene, quat, pos, steps=90, friction=1.0)
+    _, p_slip = physics.settle(scene, quat, pos, steps=90, friction=0.0)
+    slide_fric = abs(float(p_fric[0, 0]))
+    slide_slip = abs(float(p_slip[0, 0]))
+    assert slide_slip > slide_fric + 0.005, (slide_slip, slide_fric)
+
+
+def test_restitution_reflects_normal_velocity():
+    # Unit-level check of the material model in _apply_contact: with
+    # restitution e, an inward contact-point velocity vn becomes -e*vn.
+    quat = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    pos = jnp.zeros(3)
+    linvel = jnp.asarray([0.0, 0.0, -1.0])
+    angvel = jnp.zeros(3)
+    n = jnp.asarray([0.0, 0.0, 1.0])
+    r = jnp.zeros(3)
+    for e in (0.0, 0.5):
+        _, _, lv, _ = physics._apply_contact(
+            pos, quat, linvel, angvel, 0.1, jnp.ones(3), r, n, 0.001, True,
+            friction=0.0, restitution=e,
+        )
+        np.testing.assert_allclose(float(lv[2]), e, atol=1e-5)
+
+
 def test_off_table_box_falls():
     scene = make_scene()
     quat = jnp.asarray([[1.0, 0, 0, 0]])
