@@ -18,8 +18,12 @@ import sys
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="TPU-native 6D pose estimation")
-    p.add_argument("--dataset", default="APC", choices=["APC", "YCB"])
-    p.add_argument("--scene", required=True, help="scene directory (frame-000000.*)")
+    p.add_argument("--dataset", default="APC", choices=["APC", "YCB", "CAM"],
+                   help="CAM = live-capture arrays: --scene is a .npz with "
+                        "color, depth, intrinsics, cam_pose, object_names "
+                        "(CAMSceneCfg analogue; any RGB-D source can write one)")
+    p.add_argument("--scene", required=True,
+                   help="scene directory (frame-000000.*), or .npz for CAM")
     p.add_argument("--segmentation", default="GT",
                    choices=["GT", "FCN", "FCNThreshold", "RCNN", "RCNNThreshold"])
     p.add_argument("--hypothesis", default="PCS", choices=["PCS", "SUPER4PCS", "PPF_VOTING"])
@@ -67,7 +71,19 @@ def main(argv=None):
     else:
         cfg = PipelineConfig()
 
-    sc = scene_mod.load_scene(args.scene, dataset=args.dataset)
+    scene_obj = None
+    if args.dataset == "CAM":
+        import numpy as np
+
+        z = np.load(args.scene, allow_pickle=False)
+        sc = scene_obj = scene_mod.scene_from_arrays(
+            color=z["color"], depth=z["depth"], intrinsics=z["intrinsics"],
+            cam_pose=z["cam_pose"],
+            object_names=[str(n) for n in z["object_names"]],
+            class_mask=z["class_mask"] if "class_mask" in z.files else None,
+        )
+    else:
+        sc = scene_mod.load_scene(args.scene, dataset=args.dataset)
     only = args.objects if args.objects else sc.object_names
     db = objectdb.load_object_db(
         args.obj_config, args.model_dir, config=cfg, cache_dir=args.cache_dir, only=only
@@ -85,6 +101,8 @@ def main(argv=None):
             seed=args.seed + rep,
             result_path=args.result,
             debug_dir=args.debug_dir,
+            scene=scene_obj,
+            write_result=args.dataset != "CAM" or args.result is not None,
         )
         if args.repeat > 1:
             print(f"[rep {rep}] scene time: {_time.perf_counter() - t0:.3f}s")

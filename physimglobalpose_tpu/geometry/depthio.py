@@ -38,9 +38,18 @@ def decode_depth(raw: np.ndarray, bit_rotated: bool = True) -> np.ndarray:
     return raw.astype(np.float32) / DEPTH_SCALE
 
 
-def encode_depth(depth_m: np.ndarray) -> np.ndarray:
-    """float32 meters -> uint16 (utilities.cpp:81-91; no bit rotation)."""
-    return (depth_m * DEPTH_SCALE).astype(np.uint16)
+def encode_depth(depth_m: np.ndarray, bit_rotated: bool = False) -> np.ndarray:
+    """float32 meters -> uint16.
+
+    bit_rotated=False matches the reference's writeDepthImage (debug dumps,
+    utilities.cpp:81-91). bit_rotated=True applies the inverse of the APC
+    decode rotation (rot-left-3 = rot-right-13) so the file reads back
+    correctly through the APC path - use it when WRITING APC-layout scenes
+    (e.g. synthetic datasets)."""
+    raw = (depth_m * DEPTH_SCALE).astype(np.uint16)
+    if bit_rotated:
+        raw = rot16_left(raw, 3)
+    return raw
 
 
 def read_depth_png(path: str, bit_rotated: bool = True) -> np.ndarray:
@@ -50,8 +59,8 @@ def read_depth_png(path: str, bit_rotated: bool = True) -> np.ndarray:
     return decode_depth(img, bit_rotated=bit_rotated)
 
 
-def write_depth_png(path: str, depth_m: np.ndarray) -> None:
-    Image.fromarray(encode_depth(depth_m), mode="I;16").save(path)
+def write_depth_png(path: str, depth_m: np.ndarray, bit_rotated: bool = False) -> None:
+    Image.fromarray(encode_depth(depth_m, bit_rotated=bit_rotated)).save(path)
 
 
 def read_prob_png(path: str) -> np.ndarray:

@@ -18,6 +18,8 @@ only layers big enough to matter. Upsampling is jax.image bilinear resize
 from __future__ import annotations
 
 import functools
+import json
+import os
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
@@ -49,39 +51,47 @@ class VGGBlock(nn.Module):
 class FCNVgg16(nn.Module):
     """FCN_Vgg16_32s (stride=32) and AtrousFCN_Vgg16_16s (atrous fc6, stride=16).
 
-    Reference models.py:41-144.
+    Reference models.py:41-144. width_scale < 1 shrinks every channel count
+    proportionally (the "small" zoo entry used for the shippable synthetic
+    checkpoint - a full-width VGG16 checkpoint is ~0.5 GB).
     """
 
     num_classes: int
     atrous: bool = False
     dtype: Any = jnp.bfloat16
+    width_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[1], x.shape[2]
+        ws = self.width_scale
+
+        def c(n):
+            return max(8, int(n * ws))
+
         x = x.astype(self.dtype)
-        x = VGGBlock(64, 2, "block1", self.dtype)(x)
-        x = VGGBlock(128, 2, "block2", self.dtype)(x)
-        x = VGGBlock(256, 3, "block3", self.dtype)(x)
-        x = VGGBlock(512, 3, "block4", self.dtype)(x)
+        x = VGGBlock(c(64), 2, "block1", self.dtype)(x)
+        x = VGGBlock(c(128), 2, "block2", self.dtype)(x)
+        x = VGGBlock(c(256), 3, "block3", self.dtype)(x)
+        x = VGGBlock(c(512), 3, "block4", self.dtype)(x)
         if self.atrous:
             # 16s variant: no 5th pool stride; dilated fc6.
             for i in range(3):
                 x = nn.relu(
-                    nn.Conv(512, (3, 3), padding="SAME", dtype=self.dtype,
+                    nn.Conv(c(512), (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"block5_conv{i + 1}")(x)
                 )
             fc6 = nn.Conv(
-                4096, (7, 7), padding="SAME", kernel_dilation=(2, 2),
+                c(4096), (7, 7), padding="SAME", kernel_dilation=(2, 2),
                 dtype=self.dtype, name="fc6",
             )(x)
         else:
-            x = VGGBlock(512, 3, "block5", self.dtype)(x)
-            fc6 = nn.Conv(4096, (7, 7), padding="SAME", dtype=self.dtype, name="fc6")(x)
+            x = VGGBlock(c(512), 3, "block5", self.dtype)(x)
+            fc6 = nn.Conv(c(4096), (7, 7), padding="SAME", dtype=self.dtype, name="fc6")(x)
         # TP sharding hook: the 4096-wide activations split over "model".
         fc6 = _maybe_shard(fc6, ("data", None, None, "model"))
         x = nn.Dropout(0.5, deterministic=True)(nn.relu(fc6))
-        x = nn.Conv(4096, (1, 1), dtype=self.dtype, name="fc7")(x)
+        x = nn.Conv(c(4096), (1, 1), dtype=self.dtype, name="fc7")(x)
         x = _maybe_shard(x, ("data", None, None, "model"))
         x = nn.Dropout(0.5, deterministic=True)(nn.relu(x))
         x = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32, name="score")(x)
@@ -156,11 +166,73 @@ MODEL_ZOO: dict[str, Callable[..., nn.Module]] = {
     "AtrousFCN_Vgg16_16s": functools.partial(FCNVgg16, atrous=True),
     "FCN_Resnet50_32s": functools.partial(FCNResnet50, atrous=False),
     "AtrousFCN_Resnet50_16s": functools.partial(FCNResnet50, atrous=True),
+    # 1/8-width variant: same architecture, ~2M params - the shippable
+    # checkpoint size (a full-width VGG16-FCN checkpoint is ~0.5 GB).
+    "FCN_Vgg16_32s_small": functools.partial(FCNVgg16, atrous=False, width_scale=0.125),
 }
 
 
 def build_model(name: str, num_classes: int) -> nn.Module:
     return MODEL_ZOO[name](num_classes=num_classes)
+
+
+# ------------------------------------------------------------- checkpoint I/O
+
+
+def save_params_npz(path: str, params, meta: dict | None = None) -> None:
+    """Save a flax params pytree as a flat .npz (portable, diff-friendly)."""
+    import numpy as np
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params, sep="/")
+    arrays = {k: np.asarray(v) for k, v in flat.items()}
+    if meta:
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
+    np.savez_compressed(path, **arrays)
+
+
+def load_params_npz(path: str):
+    """Returns (params pytree, meta dict)."""
+    import numpy as np
+    from flax import traverse_util
+
+    z = np.load(path)
+    meta = {}
+    flat = {}
+    for k in z.files:
+        if k == "__meta__":
+            meta = json.loads(z[k].tobytes().decode())
+        else:
+            flat[k] = jnp.asarray(z[k])
+    return traverse_util.unflatten_dict(flat, sep="/"), meta
+
+
+def shipped_checkpoint_path() -> str:
+    """The in-repo synthetic-APC checkpoint (scripts/train_fcn.py output)."""
+    return os.path.join(os.path.dirname(__file__), "weights", "fcn_synth_apc.npz")
+
+
+def load_shipped_predictor(input_size=(640, 640)):
+    """Predictor from the shipped checkpoint - the default for
+    `--segmentation FCN` when no external predictor is injected.
+
+    The reference serves apc_weights.hdf5 trained on real APC imagery
+    (predict:59); no such dataset exists in this environment, so the shipped
+    weights are trained on this framework's own synthetic color renders
+    (scripts/train_fcn.py) and segment scenes drawn from that distribution -
+    the full NN-segmentation loop with no external inputs. Swap in a
+    real-data checkpoint via the same .npz format for production use.
+    """
+    path = shipped_checkpoint_path()
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no shipped FCN checkpoint at {path}; run scripts/train_fcn.py"
+        )
+    params, meta = load_params_npz(path)
+    model = build_model(meta["model"], num_classes=meta["num_classes"])
+    return make_predictor(model, params, None, input_size=input_size)
 
 
 def _maybe_shard(x, spec: Sequence):

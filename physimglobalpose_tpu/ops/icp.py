@@ -196,14 +196,20 @@ def refine_icp(
         point_to_plane=point_to_plane,
         exact_trim=exact_trim,
     )
+    def safe(tf):
+        # Degenerate segments (too few correspondences) can make the solve
+        # emit NaNs; fall back to the unrefined pose per hypothesis.
+        out = fn(tf)
+        return jnp.where(jnp.all(jnp.isfinite(out)), out, tf)
+
     h = transforms.shape[0]
     if h <= h_chunk:
-        return jax.vmap(fn)(transforms)
+        return jax.vmap(safe)(transforms)
     pad = (-h) % h_chunk
     tfs = jnp.concatenate(
         [transforms, jnp.broadcast_to(jnp.eye(4), (pad, 4, 4))], axis=0
     ).reshape(-1, h_chunk, 4, 4)
-    out = jax.lax.map(jax.vmap(fn), tfs).reshape(-1, 4, 4)
+    out = jax.lax.map(jax.vmap(safe), tfs).reshape(-1, 4, 4)
     return out[:h]
 
 

@@ -90,9 +90,9 @@ def remove_table_depth(
 def table_pose_from_plane(plane: jnp.ndarray, anchor: jnp.ndarray) -> jnp.ndarray:
     """A canonical SE(3) frame on the plane (z-axis = plane normal).
 
-    Simplified analogue of getTableParams (SceneCfg.cpp:87-157), which ICP-fits
-    a canonical table cloud; we build the frame directly from the fitted plane
-    and the observed in-plane anchor (e.g. inlier centroid).
+    The INITIAL table frame (the reference's mean-z initial guess,
+    SceneCfg.cpp:125-131); refine_table_pose below adds the reference's
+    canonical-cloud ICP refinement (SceneCfg.cpp:134-146).
     Returns a [4, 4] pose whose z points along the plane normal.
     """
     z = plane[:3]
@@ -107,3 +107,59 @@ def table_pose_from_plane(plane: jnp.ndarray, anchor: jnp.ndarray) -> jnp.ndarra
     origin = anchor - dist * z
     top = jnp.concatenate([rot, origin[:, None]], axis=-1)
     return jnp.concatenate([top, jnp.array([[0.0, 0.0, 0.0, 1.0]])], axis=0)
+
+
+def canonical_table_cloud(
+    half_extents: tuple[float, float, float], grid: int = 12
+) -> jnp.ndarray:
+    """Top-face grid of the table box in the surface frame (z = 0).
+
+    The in-memory replacement for the reference's canonical `table.ply` asset
+    (loaded at SceneCfg.cpp:109): a regular grid over the top face of the
+    same 0.8 x 0.8 m table box the physics stage uses (PhySim.cpp:22-48).
+    """
+    hx, hy, _ = half_extents
+    xs = jnp.linspace(-hx, hx, grid)
+    ys = jnp.linspace(-hy, hy, grid)
+    gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
+    return jnp.stack([gx.reshape(-1), gy.reshape(-1), jnp.zeros(grid * grid)], axis=-1)
+
+
+def refine_table_pose(
+    table_pose: jnp.ndarray,  # [4, 4] initial surface frame (z = plane normal)
+    scene_pts: jnp.ndarray,  # [N, 3] scene points (same frame as table_pose)
+    scene_mask: jnp.ndarray,  # [N] bool
+    plane4: jnp.ndarray,  # [4] fitted plane
+    half_extents: tuple[float, float, float],
+    threshold: float = 0.005,
+    iters: int = 50,
+    max_corr_dist: float = 0.01,
+) -> jnp.ndarray:
+    """getTableParams parity (SceneCfg.cpp:87-157): refine the table frame by
+    ICP of a canonical table-top cloud against the observed plane inliers.
+
+    The reference aligns the scene onto a `table.ply` transformed by a mean-z
+    initial guess (50 point-to-point ICP iterations, 1 cm correspondence cap)
+    and applies the inverse correction to the table pose; here the batched
+    ICP refines the table pose directly (model = canonical top-face grid,
+    target = plane-inlier points). A planar model constrains tilt and height
+    (what the physics settle depends on); in-plane translation stays anchored
+    at the inlier centroid.
+    """
+    from physimglobalpose_tpu.ops import icp as icp_mod
+
+    dist = jnp.abs(scene_pts @ plane4[:3] + plane4[3])
+    inl = scene_mask & (dist < threshold)
+    cloud = canonical_table_cloud(half_extents)
+    refined = icp_mod.refine_icp(
+        table_pose[None],
+        cloud,
+        jnp.zeros_like(cloud),  # normals unused in point-to-point mode
+        scene_pts,
+        inl,
+        iters=iters,
+        trim_fraction=0.8,
+        max_corr_dist=max_corr_dist,
+        point_to_plane=False,
+    )
+    return refined[0]

@@ -1,0 +1,265 @@
+"""Multi-scene data-parallel sweep: BASELINE config 5 (scenes/sec).
+
+The reference processes one scene per service call, objects serially
+(main.cpp:86-171; per-object threads commented out, SceneCfg.cpp:377,404).
+Here a batch of scenes is preprocessed on the host, every (scene, object)
+job is flattened into one leading axis, and a single device program runs
+StoCS generation + LCP verification + ICP refinement for ALL jobs with that
+axis sharded across the mesh - whole scenes ride the "data" axis (jointly
+with "model": a job is the unit of data parallelism, so both axes shard it).
+
+Per-job PRNG keys reproduce exactly the key each object would receive from
+the serial estimate_pose batched path (api.py:101-166), so sweep results
+match the serial pipeline bit-for-bit modulo float reassociation - asserted
+by tests/test_scene_sweep.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence
+
+from physimglobalpose_tpu import _jaxcfg  # noqa: F401  (platform/precision setup)
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from physimglobalpose_tpu.config import PipelineConfig, DEFAULT_CONFIG
+from physimglobalpose_tpu.geometry import se3
+from physimglobalpose_tpu.models.objectdb import ObjectDB
+from physimglobalpose_tpu.ops import icp as icp_mod
+from physimglobalpose_tpu.pipeline import hypothesis, scene as scene_mod, segmentation
+from physimglobalpose_tpu.pipeline.api import ObjectPoseEstimate, PoseEstimationResult
+
+
+@dataclasses.dataclass
+class _SceneJobs:
+    """Host-side record of one preprocessed scene."""
+
+    scene_dir: str
+    sc: object  # Scene
+    names: List[str]
+    segs: object  # Segment3D stacked [K, ...]
+    gen_keys: np.ndarray  # [K, 2] raw key data (jax.random.key_data)
+    table_pose: np.ndarray
+
+
+def prepare_scene(
+    scene_dir: str,
+    db: ObjectDB,
+    dataset: str = "APC",
+    segmentation_mode: str = "GT",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+    nn_predictor=None,
+    detector=None,
+) -> _SceneJobs:
+    """Load + preprocess one scene with estimate_pose's exact key flow."""
+    sc = scene_mod.load_scene(scene_dir, dataset=dataset)
+    key = jax.random.key(seed)
+    k_table, key = jax.random.split(key)
+    depth_clean, _plane, table_pose = scene_mod.remove_table(
+        jnp.asarray(sc.depth), jnp.asarray(sc.intrinsics), k_table, cfg
+    )
+    class_ids = [db.class_of(n) for n in sc.object_names]
+    prob_images = segmentation.build_prob_images(
+        segmentation_mode,
+        class_ids,
+        class_mask=sc.class_mask,
+        nn_predictor=nn_predictor,
+        color=sc.color,
+        detector=detector,
+        threshold=cfg.preprocess.background_prob,
+    )
+    objs = [db[n] for n in sc.object_names]
+    k_batch, key = jax.random.split(key)
+    seg_keys = jax.random.split(k_batch, len(objs) + 1)
+    intr = jnp.asarray(sc.intrinsics)
+    segs_list = [
+        segmentation.compute_3d_segment(
+            depth_clean, jnp.asarray(prob_images[o.class_id]), intr,
+            seg_keys[i], cfg,
+        )
+        for i, o in enumerate(objs)
+    ]
+    segs = jax.tree.map(lambda *xs: jnp.stack(xs), *segs_list)
+    # The per-object generation key estimate_pose's batched path derives:
+    # generate_hypotheses_batch(seg_keys[-1], ...) splits it K ways inside.
+    gen_keys = jax.random.split(seg_keys[-1], len(objs))
+    return _SceneJobs(
+        scene_dir=scene_dir,
+        sc=sc,
+        names=list(sc.object_names),
+        segs=segs,
+        gen_keys=np.asarray(jax.random.key_data(gen_keys)),
+        table_pose=np.asarray(table_pose),
+    )
+
+
+def _job_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    spec = [None] * ndim
+    spec[0] = ("data", "model")
+    return NamedSharding(mesh, P(*spec))
+
+
+def sweep_scenes(
+    mesh: Optional[Mesh],
+    scene_dirs: Sequence[str],
+    db: ObjectDB,
+    dataset: str = "APC",
+    segmentation_mode: str = "GT",
+    hypothesis_mode: str = "PCS",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+    top_k: int = 25,
+    refine_final: bool = True,
+    use_pallas: bool | None = None,
+    nn_predictor=None,
+    detector=None,
+) -> Dict[str, PoseEstimationResult]:
+    """Estimate poses for many scenes with jobs sharded over the mesh.
+
+    LCP verification mode only (the sweep's device program is generation +
+    scoring + refinement; MCTS stays a per-scene host-driven search). Returns
+    {scene_dir: PoseEstimationResult} with the same per-object contents as
+    api.estimate_pose(..., verification_mode="LCP").
+    """
+    gen_modes = {"PCS": "stocs", "CONGRUENT_SET_MATCHING": "stocs",
+                 "SUPER4PCS": "super4pcs"}
+    if hypothesis_mode not in gen_modes:
+        raise ValueError(f"unsupported sweep hypothesis mode {hypothesis_mode!r}")
+
+    t0 = time.perf_counter()
+    prepared = [
+        prepare_scene(
+            sd, db, dataset=dataset, segmentation_mode=segmentation_mode,
+            cfg=cfg, seed=seed, nn_predictor=nn_predictor, detector=detector,
+        )
+        for sd in scene_dirs
+    ]
+    prep_s = time.perf_counter() - t0
+
+    # Flatten (scene, object) jobs.
+    job_names: List[tuple] = []  # (scene_idx, obj_idx, name)
+    tables = []
+    search_pts, search_mask, val_pts, val_nrm = [], [], [], []
+    keys = []
+    segs_flat = []
+    for si, pj in enumerate(prepared):
+        for oi, name in enumerate(pj.names):
+            obj = db[name]
+            job_names.append((si, oi, name))
+            tables.append(obj.ppf_table)
+            search_pts.append(jnp.asarray(obj.search_pts))
+            search_mask.append(jnp.asarray(obj.search_mask))
+            val_pts.append(jnp.asarray(obj.validation_pts))
+            val_nrm.append(jnp.asarray(obj.validation_nrm))
+            keys.append(pj.gen_keys[oi])
+            segs_flat.append(jax.tree.map(lambda x: x[oi], pj.segs))
+    j = len(job_names)
+    if j == 0:
+        return {}
+
+    # Pad the job axis to a multiple of the mesh size (repeat job 0; padded
+    # rows are computed and discarded).
+    n_dev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+    pad = (-j) % n_dev
+    for _ in range(pad):
+        tables.append(tables[0])
+        search_pts.append(search_pts[0])
+        search_mask.append(search_mask[0])
+        val_pts.append(val_pts[0])
+        val_nrm.append(val_nrm[0])
+        keys.append(keys[0])
+        segs_flat.append(segs_flat[0])
+
+    segs = jax.tree.map(lambda *xs: jnp.stack(xs), *segs_flat)
+    stacked_tables = hypothesis.stack_object_tables(tables)
+    msp = jnp.stack(search_pts)
+    msm = jnp.stack(search_mask)
+    mvp = jnp.stack(val_pts)
+    mvn = jnp.stack(val_nrm)
+    keys_arr = jax.random.wrap_key_data(jnp.asarray(np.stack(keys)))
+
+    if mesh is not None:
+        def put(x, ndim=None):
+            return jax.device_put(x, _job_sharding(mesh, x.ndim if ndim is None else ndim))
+
+        segs = jax.tree.map(put, segs)
+        msp, msm, mvp, mvn = put(msp), put(msm), put(mvp), put(mvn)
+        keys_arr = put(keys_arr)
+        stacked_tables = type(stacked_tables)(
+            presence=put(stacked_tables.presence),
+            offsets=put(stacked_tables.offsets),
+            counts=put(stacked_tables.counts),
+            pairs=put(stacked_tables.pairs),
+            trans_disc=stacked_tables.trans_disc,
+            rot_disc=stacked_tables.rot_disc,
+            max_dist_mm=stacked_tables.max_dist_mm,
+        )
+
+    t1 = time.perf_counter()
+    res = hypothesis.generate_hypotheses_jobs(
+        keys_arr, segs, msp, msm, stacked_tables, mvp, mvn, cfg,
+        use_pallas=use_pallas, mode=gen_modes[hypothesis_mode],
+    )
+
+    # Selection (LCP mode: best hypothesis is the pose) + top-k + refinement,
+    # all batched over the job axis.
+    def _topk(scores, transforms):
+        vals, idx = jax.lax.top_k(scores, top_k)
+        return transforms[idx], vals
+
+    top_tf, top_scores = jax.vmap(_topk)(res.scores, res.transforms)
+
+    pose_cam = res.best_transform  # lcp_select semantics: best-scoring pose
+    if refine_final:
+        def refine_one(tf, mvp_i, mvn_i, seg_i):
+            out = icp_mod.refine_icp(
+                tf[None], mvp_i[:1024], mvn_i[:1024], seg_i.pts, seg_i.mask,
+                iters=cfg.icp.iters,
+                trim_fraction=cfg.icp.trim_fraction,
+                max_corr_dist=cfg.icp.max_corr_dist,
+                point_to_plane=cfg.icp.point_to_plane,
+            )[0]
+            return out
+
+        refined = jax.vmap(refine_one)(pose_cam, mvp, mvn, segs)
+        # estimate_pose skips refinement for degenerate (score<=0) segments.
+        pose_cam = jnp.where((res.best_score > 0)[:, None, None], refined, pose_cam)
+
+    pose_cam = np.asarray(pose_cam)
+    best_score = np.asarray(res.best_score)
+    top_tf = np.asarray(top_tf)
+    top_scores = np.asarray(top_scores)
+    device_s = time.perf_counter() - t1
+
+    out: Dict[str, PoseEstimationResult] = {}
+    per_scene: Dict[int, List[ObjectPoseEstimate]] = {i: [] for i in range(len(prepared))}
+    for row, (si, oi, name) in enumerate(job_names):
+        pj = prepared[si]
+        cam = jnp.asarray(pj.sc.cam_pose)
+        pw = np.asarray(se3.to_world(jnp.asarray(pose_cam[row]), cam))
+        per_scene[si].append(
+            ObjectPoseEstimate(
+                name=name,
+                pose_cam=pose_cam[row],
+                pose_world=pw,
+                score=float(best_score[row]),
+                hypotheses=top_tf[row],
+                hypothesis_scores=top_scores[row],
+            )
+        )
+    n_scenes = len(prepared)
+    for si, pj in enumerate(prepared):
+        out[pj.scene_dir] = PoseEstimationResult(
+            objects=per_scene[si],
+            timings={
+                "preprocess_s": prep_s / n_scenes,
+                "device_s": device_s / n_scenes,
+                "scenes_per_sec": n_scenes / (prep_s + device_s),
+            },
+        )
+    return out

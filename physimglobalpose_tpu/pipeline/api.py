@@ -79,6 +79,7 @@ def estimate_pose(
     write_result: bool = True,
     result_path: Optional[str] = None,
     debug_dir: Optional[str] = None,
+    scene: Optional["scene_mod.Scene"] = None,
 ) -> PoseEstimationResult:
     """Estimate 6D poses for every object in a scene.
 
@@ -97,7 +98,9 @@ def estimate_pose(
     t0 = time.perf_counter()
 
     with trace_span(tracer, "load_scene"):
-        sc = scene_mod.load_scene(scene_dir, dataset=dataset)
+        # A pre-built Scene (scene_from_arrays - the CAM live-capture path,
+        # CAMSceneCfg analogue) bypasses the directory loader.
+        sc = scene if scene is not None else scene_mod.load_scene(scene_dir, dataset=dataset)
     key = jax.random.key(seed)
 
     with trace_span(tracer, "remove_table"):
@@ -107,6 +110,13 @@ def estimate_pose(
         )
     timings["preprocess_s"] = time.perf_counter() - t0
     dbg.depth("depth_clean", depth_clean)
+
+    if segmentation_mode in ("FCN", "FCNThreshold") and nn_predictor is None:
+        # No injected predictor: serve the shipped checkpoint (the analogue
+        # of the reference node loading apc_weights.hdf5, predict:59).
+        from physimglobalpose_tpu.models import fcn as fcn_mod
+
+        nn_predictor = fcn_mod.load_shipped_predictor()
 
     with trace_span(tracer, "segmentation"):
         class_ids = [db.class_of(n) for n in sc.object_names]
@@ -269,6 +279,13 @@ def estimate_pose(
     if verification_mode in ("MCTS", "GREEDY"):
         from physimglobalpose_tpu.pipeline.mcts import mcts_select
 
+        # Table-pose refinement (getTableParams parity, SceneCfg.cpp:87-157):
+        # ICP a canonical table-top cloud against the raw depth's plane
+        # inliers before handing the frame to physics.
+        k_tbl, key = jax.random.split(key)
+        table_pose = scene_mod.refine_table_pose_from_depth(
+            jnp.asarray(sc.depth), intr, _plane, table_pose, k_tbl, cfg
+        )
         # remove_table fits the plane in CAMERA frame; physics needs the
         # table in WORLD frame (gravity acts along world -z) with its local
         # z pointing up (the contact model treats local +z as the top face).

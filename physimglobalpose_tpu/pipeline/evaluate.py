@@ -63,30 +63,28 @@ def evaluate_scenes(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     seed: int = 0,
     add_threshold: float = 0.02,
+    mesh=None,
 ) -> Dict[str, float]:
     """Sweep scenes, append per-scene JSONL, return aggregate metrics.
 
     Re-running with the same log_path resumes: scenes already logged are
     skipped (crash-safe per-scene checkpointing).
+
+    mesh: a jax.sharding.Mesh switches LCP-mode sweeps to the data-parallel
+    path (parallel/scene_sweep.py): all pending scenes' (scene, object) jobs
+    run as ONE device program sharded across the mesh - BASELINE config 5
+    (scenes/sec across a multi-chip slice). Results match the serial path
+    (tests/test_scene_sweep.py).
     """
     done = completed_scenes(log_path)
     rows: List[dict] = []
-    for sd in scene_dirs:
-        if sd in done:
-            continue
-        t0 = time.perf_counter()
-        result = api.estimate_pose(
-            sd, db, dataset=dataset,
-            segmentation_mode=segmentation_mode,
-            verification_mode=verification_mode,
-            cfg=cfg, seed=seed, write_result=False,
-        )
+    pending = [sd for sd in scene_dirs if sd not in done]
+
+    def write_row(sd: str, result, seconds: float, extra: Optional[dict] = None):
         sc = scene_mod.load_scene(sd, dataset=dataset)
-        row = {
-            "scene": sd,
-            "seconds": time.perf_counter() - t0,
-            "objects": {},
-        }
+        row = {"scene": sd, "seconds": seconds, "objects": {}}
+        if extra:
+            row.update(extra)
         for est in result.objects:
             entry: dict = {"score": est.score}
             if sc.gt_poses and est.name in sc.gt_poses:
@@ -95,6 +93,32 @@ def evaluate_scenes(
         with open(log_path, "a") as fh:
             fh.write(json.dumps(row) + "\n")
         rows.append(row)
+
+    if mesh is not None and verification_mode == "LCP" and pending:
+        from physimglobalpose_tpu.parallel import scene_sweep
+
+        t0 = time.perf_counter()
+        results = scene_sweep.sweep_scenes(
+            mesh, pending, db, dataset=dataset,
+            segmentation_mode=segmentation_mode, cfg=cfg, seed=seed,
+        )
+        per_scene_s = (time.perf_counter() - t0) / max(len(pending), 1)
+        for sd in pending:
+            write_row(
+                sd, results[sd], per_scene_s,
+                extra={"scenes_per_sec": results[sd].timings.get("scenes_per_sec")},
+            )
+        pending = []
+
+    for sd in pending:
+        t0 = time.perf_counter()
+        result = api.estimate_pose(
+            sd, db, dataset=dataset,
+            segmentation_mode=segmentation_mode,
+            verification_mode=verification_mode,
+            cfg=cfg, seed=seed, write_result=False,
+        )
+        write_row(sd, result, time.perf_counter() - t0)
 
     # Aggregate over the entire log (old + new rows).
     all_rows = []

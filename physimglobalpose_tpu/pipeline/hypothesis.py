@@ -285,3 +285,47 @@ def generate_hypotheses_batch(
         tables.presence, tables.offsets, tables.counts, tables.pairs,
         model_validation_pts, model_validation_nrm,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_bases", "use_pallas", "mode")
+)
+def generate_hypotheses_jobs(
+    keys: jax.Array,  # [J] PRNG keys, one per (scene, object) job
+    segs: Segment3D,  # leaves stacked with a leading job axis [J, ...]
+    model_search_pts: jnp.ndarray,  # [J, Nm, 3]
+    model_search_mask: jnp.ndarray,  # [J, Nm]
+    tables: ppf.PPFTable,  # stacked with leading job axis
+    model_validation_pts: jnp.ndarray,  # [J, Nv, 3]
+    model_validation_nrm: jnp.ndarray,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    num_bases: int | None = None,
+    use_pallas: bool | None = None,
+    mode: str = "stocs",
+) -> HypothesisResult:
+    """Flat (scene, object) job batch with EXPLICIT per-job keys.
+
+    The scene-sweep data-parallel path (parallel/scene_sweep.py) flattens
+    jobs from many scenes into one leading axis and shards it over the mesh;
+    explicit keys let each job reproduce exactly the key it would get from
+    the per-scene generate_hypotheses_batch split, so sharded-sweep results
+    are bit-comparable to the serial path.
+    """
+
+    def one(key_i, seg_i, msp, msm, presence, offsets, counts, pairs, mvp, mvn):
+        table_i = ppf.PPFTable(
+            presence=presence, offsets=offsets, counts=counts, pairs=pairs,
+            trans_disc=tables.trans_disc, rot_disc=tables.rot_disc,
+            max_dist_mm=tables.max_dist_mm,
+        )
+        return generate_hypotheses.__wrapped__(
+            key_i, seg_i, msp, msm, table_i, mvp, mvn, cfg,
+            num_bases=num_bases, use_pallas=use_pallas, mode=mode,
+        )
+
+    return jax.vmap(one)(
+        keys, segs,
+        model_search_pts, model_search_mask,
+        tables.presence, tables.offsets, tables.counts, tables.pairs,
+        model_validation_pts, model_validation_nrm,
+    )

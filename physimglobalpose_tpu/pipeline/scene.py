@@ -124,6 +124,30 @@ def remove_table(
     return cleaned, pl4, tpose
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def refine_table_pose_from_depth(
+    depth: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    plane4: jnp.ndarray,
+    table_pose: jnp.ndarray,
+    key: jax.Array,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """getTableParams parity (SceneCfg.cpp:87-157): ICP-refine the table
+    frame against the raw depth's plane-inlier points (camera frame)."""
+    pre = cfg.preprocess
+    pts, valid = pointcloud.backproject(depth, intrinsics, pre.depth_min, pre.depth_max)
+    flat_pts = pts.reshape(-1, 3)
+    flat_valid = valid.reshape(-1)
+    dist = jnp.abs(flat_pts @ plane4[:3] + plane4[3])
+    inl = flat_valid & (dist < pre.plane_dist_threshold)
+    sub, sub_mask = pointcloud.compact_masked_points(flat_pts, inl, 4096, key)
+    return plane.refine_table_pose(
+        table_pose, sub, sub_mask, plane4, cfg.physics.table_half_extents,
+        threshold=pre.plane_dist_threshold,
+    )
+
+
 def scene_from_arrays(
     color: np.ndarray,
     depth: np.ndarray,

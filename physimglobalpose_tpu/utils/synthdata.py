@@ -1,0 +1,195 @@
+"""Synthetic labeled color scenes for FCN segmentation training.
+
+The reference ships apc_weights.hdf5 trained on real APC imagery
+(fcn_segmentation_package/predict:59); no real dataset exists in this
+environment, so the NN-segmentation loop closes over this framework's own
+renders: objects are rasterized at random resting poses and colored with a
+deterministic per-class palette + shading/noise, the ownership mask is the
+pixel label, and scripts/train_fcn.py fits the small FCN on the stream.
+A checkpoint trained on real data drops in through the same .npz format.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def class_color(class_id: int) -> np.ndarray:
+    """Deterministic, well-separated RGB (float 0-1) per class id."""
+    rng = np.random.default_rng(1000 + class_id)
+    hue = rng.uniform(0.0, 1.0)
+    # Simple HSV->RGB with fixed s/v keeps colors distinct and saturated.
+    i = int(hue * 6) % 6
+    f = hue * 6 - int(hue * 6)
+    v, s = 0.85, 0.75
+    p, q, t = v * (1 - s), v * (1 - f * s), v * (1 - (1 - f) * s)
+    rgb = [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)][i]
+    return np.asarray(rgb, np.float32)
+
+
+def render_scene(
+    meshes: Dict[str, object],  # name -> assets.Mesh (decimated)
+    class_ids: Dict[str, int],
+    rng: np.random.Generator,
+    intr: np.ndarray,
+    h: int,
+    w: int,
+    table_depth: float = 0.8,
+    max_objects: int = 3,
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, np.ndarray], np.ndarray]:
+    """One synthetic scene: returns (color uint8 [h,w,3], label int32 [h,w],
+    poses {name: [4,4] camera frame}, depth float32 [h,w]).
+
+    Objects rest on a fronto-parallel table at table_depth with random yaw
+    and in-view positions; label 0 is background.
+    """
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from physimglobalpose_tpu.ops import raster_tri
+
+    names = list(meshes)
+    count = int(rng.integers(1, max_objects + 1))
+    chosen = list(rng.choice(names, size=count, replace=False))
+    # Keep the cluster inside the frustum: the view cone half-width at the
+    # table is ~(w/2)/fx * depth.
+    x_lim = 0.8 * (w / 2) / intr[0, 0] * table_depth - 0.05
+    y_lim = 0.8 * (h / 2) / intr[1, 1] * table_depth - 0.05
+    depths, labels, poses = [], [], {}
+    for name in chosen:
+        mesh = meshes[name]
+        rot = Rotation.from_euler(
+            "z", rng.uniform(0, 360), degrees=True
+        ).as_matrix().astype(np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = rot
+        z_max = float((np.asarray(mesh.vertices) @ rot.T)[:, 2].max())
+        pose[:3, 3] = [
+            rng.uniform(-x_lim, x_lim),
+            rng.uniform(-y_lim, y_lim),
+            table_depth - z_max - 0.001,
+        ]
+        poses[name] = pose
+        depths.append(
+            np.asarray(
+                raster_tri.render_mesh_depth(
+                    jnp.asarray(pose), jnp.asarray(mesh.vertices),
+                    jnp.asarray(mesh.faces), jnp.ones(len(mesh.faces), bool),
+                    jnp.asarray(intr), h, w,
+                )
+            )
+        )
+        labels.append(class_ids[name])
+    stack = np.where(np.stack(depths) > 0, np.stack(depths), np.inf)
+    owner = np.argmin(stack, axis=0)
+    front = stack.min(axis=0)
+    any_obj = np.isfinite(front)
+    label = np.where(any_obj, np.asarray(labels)[owner], 0).astype(np.int32)
+
+    # Color: per-class palette shaded by depth, plus noise; noisy background.
+    color = np.empty((h, w, 3), np.float32)
+    bg = rng.uniform(0.1, 0.5)
+    color[:] = bg + rng.normal(scale=0.05, size=(h, w, 3))
+    shade = np.where(any_obj, 1.0 - 0.5 * (front - front[any_obj].min()), 1.0)
+    for name in chosen:
+        c = class_ids[name]
+        sel = label == c
+        color[sel] = class_color(c) * shade[sel, None]
+    color += rng.normal(scale=0.03, size=color.shape)
+    color *= rng.uniform(0.8, 1.2)  # global brightness jitter
+    color = np.clip(color, 0.0, 1.0)
+    depth = np.where(any_obj, front, table_depth).astype(np.float32)
+    return (color * 255).astype(np.uint8), label, poses, depth
+
+
+def crop_batch(
+    colors: Sequence[np.ndarray],
+    labels: Sequence[np.ndarray],
+    rng: np.random.Generator,
+    batch: int,
+    size: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Random-crop + flip augmentation batch (SegDataGenerator semantics)."""
+    imgs = np.empty((batch, size, size, 3), np.float32)
+    labs = np.empty((batch, size, size), np.int32)
+    for b in range(batch):
+        i = int(rng.integers(0, len(colors)))
+        c, l = colors[i], labels[i]
+        ys, xs = np.nonzero(l)
+        if len(ys) and rng.random() < 0.7:
+            # Bias crops toward object pixels (scenes are mostly background).
+            j = int(rng.integers(0, len(ys)))
+            y = int(np.clip(ys[j] - size // 2, 0, c.shape[0] - size))
+            x = int(np.clip(xs[j] - size // 2, 0, c.shape[1] - size))
+        else:
+            y = int(rng.integers(0, c.shape[0] - size + 1))
+            x = int(rng.integers(0, c.shape[1] - size + 1))
+        ci = c[y : y + size, x : x + size].astype(np.float32) / 255.0
+        li = l[y : y + size, x : x + size]
+        if rng.random() < 0.5:
+            ci, li = ci[:, ::-1], li[:, ::-1]
+        imgs[b], labs[b] = ci, li
+    return imgs, labs
+
+
+def write_scene_dir(
+    sd: str,
+    color: np.ndarray,
+    depth: np.ndarray,
+    label: np.ndarray,
+    intr: np.ndarray,
+    poses_cam: Dict[str, np.ndarray],
+    cam_height: float = 1.5,
+    table_depth: float = 0.8,
+) -> Dict[str, np.ndarray]:
+    """Write an APC-layout scene directory (reference file contract:
+    frame-000000.{color,depth,mask}.png + gt_info.yml). Returns GT world
+    poses per object. Camera looks straight down from cam_height."""
+    import os
+
+    from PIL import Image
+    from scipy.spatial.transform import Rotation
+
+    from physimglobalpose_tpu.geometry import depthio
+
+    os.makedirs(sd, exist_ok=True)
+    # APC layout: scenes store depth bit-rotated (load_scene decodes APC
+    # depth with rot-left-13, utilities.cpp:47-61).
+    depthio.write_depth_png(
+        os.path.join(sd, "frame-000000.depth.png"), depth, bit_rotated=True
+    )
+    Image.fromarray(label.astype(np.uint16)).save(
+        os.path.join(sd, "frame-000000.mask.png")
+    )
+    Image.fromarray(color).save(os.path.join(sd, "frame-000000.color.png"))
+    cam_pose = np.array(
+        [[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, cam_height], [0, 0, 0, 1]],
+        np.float32,
+    )
+    lines = [
+        "camera:",
+        f"  camera_pose: [0, 0, {cam_height}, 0, 1, 0, 0]",
+        f"  camera_intrinsics: [[{intr[0,0]}, 0.0, {intr[0,2]}],"
+        f"[0.0, {intr[1,1]}, {intr[1,2]}],[0.0, 0.0, 1.0]]",
+        "rest_surface:",
+        "  type: table",
+        f"  surface_pose: [0, 0, {cam_height - table_depth}, 1, 0, 0, 0]",
+        "scene:",
+        f"  num_objects: {len(poses_cam)}",
+    ]
+    gt_world = {}
+    for i, (name, pc) in enumerate(poses_cam.items(), start=1):
+        pw = cam_pose @ pc
+        gt_world[name] = pw
+        q = Rotation.from_matrix(pw[:3, :3]).as_quat()  # [x, y, z, w]
+        t = pw[:3, 3]
+        lines += [
+            f"  object_{i}:",
+            f"    name: '{name}'",
+            f"    pose: [{t[0]}, {t[1]}, {t[2]}, {q[3]}, {q[0]}, {q[1]}, {q[2]}]",
+        ]
+    with open(os.path.join(sd, "gt_info.yml"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return gt_world

@@ -90,7 +90,11 @@ def main(argv=None):
 
         sd = os.path.join(args.out, f"scene_{k:04d}")
         os.makedirs(sd, exist_ok=True)
-        depthio.write_depth_png(os.path.join(sd, "frame-000000.depth.png"), depth)
+        # APC layout stores depth bit-rotated (load_scene decodes with
+        # rot-left-13 for dataset="APC").
+        depthio.write_depth_png(
+            os.path.join(sd, "frame-000000.depth.png"), depth, bit_rotated=True
+        )
         from PIL import Image
 
         Image.fromarray(mask).save(os.path.join(sd, "frame-000000.mask.png"))

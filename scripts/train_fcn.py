@@ -1,0 +1,149 @@
+"""Train the small FCN on synthetic color scenes and ship the checkpoint.
+
+Closes the NN-segmentation loop (VERDICT r1 item 4): the reference serves
+apc_weights.hdf5 trained on real APC imagery (predict:59-155); this
+environment has no real dataset, so the shipped checkpoint is trained on the
+framework's own synthetic renders (utils/synthdata.py) - enough for
+`--segmentation FCN` to work end-to-end with no injected predictor on scenes
+from that distribution, and the training pipeline is demonstrated to
+converge. A real-data checkpoint drops in via the same .npz format.
+
+Usage (CPU, ~10-20 min):
+  python scripts/train_fcn.py --steps 400 \
+      --out physimglobalpose_tpu/models/weights/fcn_synth_apc.npz
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+OBJECTS = {  # the bundled test-scene objects (obj_config.yml class ids)
+    "kleenex_tissue_box": 8,
+    "expo_dry_erase_board_eraser": 2,
+    "folgers_classic_roast_coffee": 3,
+}
+NUM_CLASSES = 12  # APC: background + 11 objects (predict:168)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--size", type=int, default=160)
+    p.add_argument("--scenes", type=int, default=48)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--model", default="FCN_Vgg16_32s_small")
+    p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    p.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(__file__), "..",
+            "physimglobalpose_tpu", "models", "weights", "fcn_synth_apc.npz",
+        ),
+    )
+    p.add_argument(
+        "--model-dir",
+        default="/root/reference/src/physim_pose_estimation/models_visualization",
+    )
+    p.add_argument(
+        "--obj-config",
+        default="/root/reference/src/physim_pose_estimation/src/data_layer/obj_config.yml",
+    )
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from physimglobalpose_tpu.models import assets, fcn, objectdb
+    from physimglobalpose_tpu.utils import synthdata
+
+    db = objectdb.load_object_db(
+        args.obj_config, args.model_dir, cache_dir="/tmp/ppf_cache",
+        only=list(OBJECTS),
+    )
+    meshes = {
+        n: assets.decimate_to_max_faces(db[n].mesh, 2000) for n in OBJECTS
+    }
+    intr = np.array(
+        [[307.0, 0.0, 160.0], [0.0, 307.0, 120.0], [0.0, 0.0, 1.0]], np.float32
+    )
+    rng = np.random.default_rng(0)
+    print(f"rendering {args.scenes} training scenes...", flush=True)
+    colors, labels = [], []
+    for _ in range(args.scenes):
+        c, l, _, _ = synthdata.render_scene(
+            meshes, OBJECTS, rng, intr, 240, 320
+        )
+        colors.append(c)
+        labels.append(l)
+    # Held-out scenes for the convergence check.
+    val = [
+        synthdata.render_scene(meshes, OBJECTS, rng, intr, 240, 320)[:2]
+        for _ in range(6)
+    ]
+
+    model = fcn.build_model(args.model, num_classes=NUM_CLASSES)
+    params = model.init(jax.random.key(0), jnp.zeros((1, args.size, args.size, 3)))[
+        "params"
+    ]
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"{args.model}: {n_params/1e6:.2f} M params")
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+    train_step = jax.jit(fcn.make_train_step(model, tx))
+
+    t0 = time.time()
+    for step in range(args.steps):
+        imgs, labs = synthdata.crop_batch(colors, labels, rng, args.batch, args.size)
+        params, opt_state, loss = train_step(
+            params, opt_state, jnp.asarray(imgs), jnp.asarray(labs)
+        )
+        if step % 25 == 0 or step == args.steps - 1:
+            print(f"step {step:4d} loss {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    # Convergence check: per-class IoU on held-out full scenes.
+    @jax.jit
+    def infer(img):
+        return jnp.argmax(model.apply({"params": params}, img[None])[0], axis=-1)
+
+    ious = []
+    for c_img, l_img in val:
+        pred = np.asarray(infer(jnp.asarray(c_img.astype(np.float32) / 255.0)))
+        for cid in set(np.unique(l_img)) - {0}:
+            inter = ((pred == cid) & (l_img == cid)).sum()
+            union = ((pred == cid) | (l_img == cid)).sum()
+            if union:
+                ious.append(inter / union)
+    miou = float(np.mean(ious)) if ious else 0.0
+    print(f"held-out object mIoU: {miou:.3f} over {len(ious)} instances")
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    fcn.save_params_npz(
+        args.out, params,
+        meta={
+            "model": args.model,
+            "num_classes": NUM_CLASSES,
+            "train": "synthetic (utils/synthdata.py)",
+            "steps": args.steps,
+            "holdout_miou": miou,
+        },
+    )
+    size_mb = os.path.getsize(args.out) / 1e6
+    print(f"saved {args.out} ({size_mb:.1f} MB)")
+    if miou < 0.5:
+        print("WARNING: mIoU below 0.5 - checkpoint may not drive the pipeline")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

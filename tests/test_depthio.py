@@ -53,3 +53,18 @@ def test_reference_test_scene_loads():
     assert mask.shape == (480, 640)
     assert set(np.unique(mask)) >= {0}
     assert mask.max() >= 1  # class ids present
+
+
+def test_png_roundtrip_apc_rotated(tmp_path):
+    # Writing an APC-layout scene requires the rotated encoding so the APC
+    # read path (rot-left-13 decode) recovers the meters (regression: the
+    # synthetic scene writers used the debug-dump encoding and APC reads
+    # returned garbage depth).
+    from physimglobalpose_tpu.geometry import depthio
+    import numpy as np
+
+    depth = np.array([[0.0, 0.672], [0.8, 1.9999]], np.float32)
+    path = str(tmp_path / "d.png")
+    depthio.write_depth_png(path, depth, bit_rotated=True)
+    back = depthio.read_depth_png(path, bit_rotated=True)
+    np.testing.assert_allclose(back, depth, atol=1e-4)

@@ -135,3 +135,20 @@ def test_rcnn_path_with_cluster_detector(db):
     assert len(result.objects) == 3
     # Rectangular masks are crude; at least some objects should still match.
     assert sum(o.score > 0.03 for o in result.objects) >= 1
+
+
+def test_cam_scene_from_arrays(db):
+    """CAM dataset path (CAMSceneCfg analogue): in-memory arrays -> poses."""
+    sc = scene_mod.load_scene(SCENE, dataset="APC")
+    cam_scene = scene_mod.scene_from_arrays(
+        color=sc.color, depth=sc.depth, intrinsics=sc.intrinsics,
+        cam_pose=sc.cam_pose, object_names=sc.object_names,
+        class_mask=sc.class_mask,
+    )
+    result = api.estimate_pose(
+        "<unused>", db, dataset="CAM",
+        segmentation_mode="GT", verification_mode="LCP",
+        cfg=SMALL_CFG, seed=0, write_result=False, scene=cam_scene,
+    )
+    assert len(result.objects) == 3
+    assert all(o.score > 0.05 for o in result.objects)

@@ -114,3 +114,39 @@ def test_table_pose_orthonormal():
     np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-6)
     np.testing.assert_allclose(pose[:3, 2], [0, 0, 1], atol=1e-6)
     np.testing.assert_allclose(pose[:3, 3], [0.1, 0.2, 0.53], atol=1e-6)
+
+
+def test_refine_table_pose_tilted(rng):
+    # Points on a tilted plane (8 deg about y) + noise; initial frame is
+    # deliberately mis-tilted by a further 5 deg and lifted 8 mm. ICP against
+    # the canonical top-face grid must recover tilt and height
+    # (getTableParams parity, SceneCfg.cpp:87-157).
+    from scipy.spatial.transform import Rotation
+
+    rot_true = Rotation.from_euler("y", 8, degrees=True).as_matrix().astype(np.float32)
+    n_true = rot_true[:, 2]
+    center = np.array([0.0, 0.0, 0.6], np.float32)
+    uv = rng.uniform(-0.3, 0.3, size=(800, 2)).astype(np.float32)
+    pts = center + uv[:, :1] * rot_true[:, 0] + uv[:, 1:2] * rot_true[:, 1]
+    pts += rng.normal(scale=0.001, size=pts.shape).astype(np.float32)
+    mask = np.ones(len(pts), bool)
+    plane4 = np.concatenate([n_true, [-float(n_true @ center)]]).astype(np.float32)
+
+    bad = np.eye(4, dtype=np.float32)
+    bad[:3, :3] = (
+        Rotation.from_euler("y", 13, degrees=True).as_matrix().astype(np.float32)
+    )
+    bad[:3, 3] = center + np.array([0, 0, 0.008], np.float32)
+
+    refined = np.asarray(
+        plane.refine_table_pose(
+            jnp.asarray(bad), jnp.asarray(pts), jnp.asarray(mask),
+            jnp.asarray(plane4), (0.4, 0.4, 0.2),
+        )
+    )
+    # z-axis of the refined frame aligns with the true plane normal.
+    cos = abs(float(refined[:3, 2] @ n_true))
+    assert cos > 0.9995, cos  # < ~1.8 deg residual tilt (was 5 deg)
+    # Frame origin sits on the plane (height error < 3 mm; was 8 mm).
+    h_err = abs(float(n_true @ refined[:3, 3] + plane4[3]))
+    assert h_err < 0.003, h_err
