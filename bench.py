@@ -30,10 +30,11 @@ from physimglobalpose_tpu.ops import scoring
 _FALLBACK_BASELINE = 2041.7  # scripts/measure_baseline.py on the 2026-08 host
 
 
-def baseline_hyps_per_sec() -> float:
+def baseline_hyps_per_sec(clutter: bool = False) -> float:
     p = pathlib.Path(__file__).resolve().parent / "BASELINE_MEASURED.json"
+    key = "baseline_hyps_per_sec_clutter" if clutter else "baseline_hyps_per_sec"
     try:
-        return float(json.loads(p.read_text())["baseline_hyps_per_sec"])
+        return float(json.loads(p.read_text())[key])
     except (OSError, KeyError, ValueError):
         return _FALLBACK_BASELINE
 
@@ -44,20 +45,37 @@ NS = 1024  # segment size (max_segment_points)
 ICP_ITERS = 10
 
 
-def make_inputs(seed=0):
+def make_inputs(seed=0, clutter=False, h=H, nv=NV, nm=NM, ns=NS):
+    """Bench inputs. clutter=True mirrors scripts/baseline_kdtree.cc's hard
+    mode: a quarter of the segment is uniform clutter and half the
+    hypotheses are garbage (0.1-0.3 m off) - the ranking-fidelity workload
+    (the easy mode's hypotheses are all near-correct, so mis-ranking would
+    not show)."""
     rng = np.random.default_rng(seed)
-    model_v = rng.uniform(-0.06, 0.06, size=(NV, 3)).astype(np.float32)
-    nrm_v = rng.normal(size=(NV, 3)).astype(np.float32)
+    model_v = rng.uniform(-0.06, 0.06, size=(nv, 3)).astype(np.float32)
+    nrm_v = rng.normal(size=(nv, 3)).astype(np.float32)
     nrm_v /= np.linalg.norm(nrm_v, axis=1, keepdims=True)
-    model_m = model_v[:NM]
-    nrm_m = nrm_v[:NM]
-    seg = (model_v[:NS] + np.array([0.05, 0.0, 0.6], np.float32)).astype(np.float32)
-    seg_nrm = nrm_v[:NS]
-    seg_prob = rng.uniform(0.5, 1.0, size=NS).astype(np.float32)
-    seg_mask = np.ones(NS, bool)
-    # Hypotheses: random small perturbations around the true offset.
-    tfs = np.tile(np.eye(4, dtype=np.float32), (H, 1, 1))
-    tfs[:, :3, 3] = np.array([0.05, 0.0, 0.6]) + rng.normal(scale=0.01, size=(H, 3))
+    model_m = model_v[:nm]
+    nrm_m = nrm_v[:nm]
+    offset = np.array([0.05, 0.0, 0.6], np.float32)
+    seg = (model_v[:ns] + offset).astype(np.float32)
+    seg_nrm = nrm_v[:ns].copy()
+    if clutter:
+        n_cl = ns // 4
+        seg[ns - n_cl :] = rng.uniform(-0.2, 0.2, size=(n_cl, 3)) + offset
+        cn = rng.normal(size=(n_cl, 3)).astype(np.float32)
+        seg_nrm[ns - n_cl :] = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    seg_prob = rng.uniform(0.5, 1.0, size=ns).astype(np.float32)
+    seg_mask = np.ones(ns, bool)
+    # Hypotheses: perturbations around the true offset (+ garbage half in
+    # clutter mode).
+    tfs = np.tile(np.eye(4, dtype=np.float32), (h, 1, 1))
+    tfs[:, :3, 3] = offset + rng.normal(scale=0.01, size=(h, 3))
+    if clutter:
+        sign = np.where(np.arange(h) % 4 == 1, 1.0, -1.0)
+        bad = np.arange(h) % 2 == 1
+        tfs[bad, 0, 3] += (rng.uniform(0.1, 0.3, size=h) * sign)[bad]
+        tfs[bad, 1, 3] += rng.uniform(0.1, 0.3, size=h)[bad]
     return (
         jnp.asarray(tfs),
         jnp.asarray(model_m), jnp.asarray(nrm_m),
@@ -68,8 +86,16 @@ def make_inputs(seed=0):
 
 
 def main():
+    import os
+
     on_tpu = jax.default_backend() == "tpu"
-    (tfs, model_m, nrm_m, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask) = make_inputs()
+    # BENCH_VARIANT=clutter measures the hard ranking workload (the driver's
+    # default run stays the easy config for cross-round comparability); the
+    # baseline denominator switches to the matching measured mode.
+    clutter = os.environ.get("BENCH_VARIANT", "easy") == "clutter"
+    (tfs, model_m, nrm_m, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask) = make_inputs(
+        clutter=clutter
+    )
 
     def score_step(tfs):
         out = scoring.score_refine_pipeline(
@@ -97,13 +123,14 @@ def main():
     dt = min(times)  # best steady-state iteration
 
     hyps_per_sec = H / dt
+    variant = "clutter" if clutter else "easy"
     print(
         json.dumps(
             {
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
-                "unit": "hyp/s (coarse-LCP@512 -> ICP-10it@512 top-1024 -> fine-LCP@4k, H=16384)",
-                "vs_baseline": round(hyps_per_sec / baseline_hyps_per_sec(), 2),
+                "unit": f"hyp/s (coarse-LCP@512 -> ICP-10it@512 top-1024 -> fine-LCP@4k, H=16384, {variant})",
+                "vs_baseline": round(hyps_per_sec / baseline_hyps_per_sec(clutter), 2),
             }
         )
     )

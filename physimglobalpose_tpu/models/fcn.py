@@ -166,9 +166,10 @@ MODEL_ZOO: dict[str, Callable[..., nn.Module]] = {
     "AtrousFCN_Vgg16_16s": functools.partial(FCNVgg16, atrous=True),
     "FCN_Resnet50_32s": functools.partial(FCNResnet50, atrous=False),
     "AtrousFCN_Resnet50_16s": functools.partial(FCNResnet50, atrous=True),
-    # 1/8-width variant: same architecture, ~2M params - the shippable
+    # 1/8-width variants: same architectures, ~2M params - the shippable
     # checkpoint size (a full-width VGG16-FCN checkpoint is ~0.5 GB).
     "FCN_Vgg16_32s_small": functools.partial(FCNVgg16, atrous=False, width_scale=0.125),
+    "AtrousFCN_Vgg16_16s_small": functools.partial(FCNVgg16, atrous=True, width_scale=0.125),
 }
 
 

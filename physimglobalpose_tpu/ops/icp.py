@@ -119,11 +119,18 @@ def _icp_single(
     max_corr_dist,
     point_to_plane,
     exact_trim=False,
+    nn_refresh=1,
 ):
-    def body(_, tf):
+    """nn_refresh > 1 recomputes nearest neighbors only every nn_refresh
+    iterations and re-solves against the (model-frame) matched points in
+    between - the [Ns, Nm] correspondence block is the bandwidth-heavy part
+    of the loop, the 6x6 solve is nearly free. Classic LM-ICP-style inner
+    iteration; convergence per iteration is slightly slower but each
+    refresh window costs one correspondence pass instead of nn_refresh."""
+
+    def correspond(tf):
         rot, t = tf[:3, :3], tf[:3, 3]
         tm = model_pts @ rot.T + t  # transformed model
-        tn = model_nrm @ rot.T
         # NN + correspondence extraction as matmuls (gathers are slow on
         # TPU): a row-normalized argmin one-hot matrix pulls the matched
         # point/normal via [Ns, Nm] @ [Nm, 3] (MXU), ties averaged.
@@ -138,13 +145,19 @@ def _icp_single(
         mind2 = jnp.min(d2, axis=-1)
         onehot = (d2 <= mind2[:, None]).astype(jnp.float32)
         onehot = onehot / jnp.maximum(jnp.sum(onehot, axis=-1, keepdims=True), 1.0)
-        p = onehot @ tm  # matched (already-transformed) model points [Ns, 3]
-        n = onehot @ tn
+        p_model = onehot @ model_pts  # matched points in MODEL frame [Ns, 3]
+        n_model = onehot @ model_nrm
         mind2 = jnp.where(seg_mask, mind2, jnp.inf)
         if exact_trim:
             w = _trim_weights(mind2, seg_mask, trim_fraction, max_corr_dist)
         else:
             w = _robust_weights(mind2, seg_mask, max_corr_dist)
+        return p_model, n_model, w
+
+    def solve(tf, p_model, n_model, w):
+        rot, t = tf[:3, :3], tf[:3, 3]
+        p = p_model @ rot.T + t
+        n = n_model @ rot.T
         if point_to_plane:
             drot, dt = _solve_point_to_plane(p, seg_pts, n, w)
         else:
@@ -152,17 +165,32 @@ def _icp_single(
         new_rot = drot @ rot
         new_t = drot @ t + dt
         out = jnp.eye(4)
-        out = out.at[:3, :3].set(new_rot).at[:3, 3].set(new_t)
-        return out
+        return out.at[:3, :3].set(new_rot).at[:3, 3].set(new_t)
 
-    return jax.lax.fori_loop(0, iters, body, transform)
+    if nn_refresh <= 1:
+        def body(_, tf):
+            return solve(tf, *correspond(tf))
+
+        return jax.lax.fori_loop(0, iters, body, transform)
+
+    n_outer = -(-iters // nn_refresh)
+
+    def outer(_, tf):
+        p_model, n_model, w = correspond(tf)
+
+        def inner(__, tf2):
+            return solve(tf2, p_model, n_model, w)
+
+        return jax.lax.fori_loop(0, nn_refresh, inner, tf)
+
+    return jax.lax.fori_loop(0, n_outer, outer, transform)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "iters", "trim_fraction", "max_corr_dist", "point_to_plane", "h_chunk",
-        "exact_trim",
+        "exact_trim", "nn_refresh",
     ),
 )
 def refine_icp(
@@ -177,12 +205,16 @@ def refine_icp(
     point_to_plane: bool = True,
     h_chunk: int = 64,
     exact_trim: bool = False,
+    nn_refresh: int = 1,
 ) -> jnp.ndarray:
     """Refine H poses in parallel; returns [H, 4, 4].
 
     The hypothesis batch runs in chunks of h_chunk: the vmapped NN distance
     block is [h_chunk, Ns, Nm] (a full vmap over H would materialize an
     [H, Ns, Nm] tensor - 34 GB at H=8k, 1k-point clouds).
+    nn_refresh > 1 reuses correspondences across that many solve iterations
+    (see _icp_single) - ~nn_refresh x less bandwidth for slightly slower
+    per-iteration convergence.
     """
     fn = functools.partial(
         _icp_single,
@@ -195,6 +227,7 @@ def refine_icp(
         max_corr_dist=max_corr_dist,
         point_to_plane=point_to_plane,
         exact_trim=exact_trim,
+        nn_refresh=nn_refresh,
     )
     def safe(tf):
         # Degenerate segments (too few correspondences) can make the solve

@@ -31,7 +31,7 @@ class ScoredHypotheses(NamedTuple):
     jax.jit,
     static_argnames=(
         "top_k", "coarse_subsample", "icp_iters", "icp_subsample", "delta",
-        "normal_gate_deg", "use_pallas",
+        "normal_gate_deg", "use_pallas", "icp_nn_refresh",
     ),
 )
 def score_refine_pipeline(
@@ -51,6 +51,7 @@ def score_refine_pipeline(
     delta: float = 0.005,
     normal_gate_deg: float = 30.0,
     use_pallas: bool | None = None,
+    icp_nn_refresh: int = 1,
 ) -> ScoredHypotheses:
     """Score all H hypotheses coarsely, refine + rescore the best top_k."""
     h = transforms.shape[0]
@@ -77,7 +78,7 @@ def score_refine_pipeline(
         model_search_pts[::icp_subsample],
         model_search_nrm[::icp_subsample],
         seg_pts, seg_mask,
-        iters=icp_iters, point_to_plane=True,
+        iters=icp_iters, point_to_plane=True, nn_refresh=icp_nn_refresh,
     )
 
     # Stage 3: full-resolution weighted LCP on the refined survivors.

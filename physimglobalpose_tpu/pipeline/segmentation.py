@@ -153,7 +153,13 @@ def build_prob_images(
                 stacked = np.stack([probs[c] for c in class_ids])
                 background_prob = 1.0 - stacked.max(axis=0)
             return threshold_prob_images(probs, background_prob, threshold)
-        return probs
+        # Plain FCN: softmax probs are nonzero everywhere, but the reference
+        # implicitly gates them - compute3dSegment back-projects depth*prob
+        # (Segmentation.cpp:214-219) and the 0.1 m near-clip drops pixels
+        # with prob < ~0.1/depth. We keep depth unscaled (prob rides along
+        # as the StoCS prior), so apply that gate explicitly.
+        return {c: np.where(p >= 0.15, p, 0.0).astype(np.float32)
+                for c, p in probs.items()}
     if strategy in ("RCNN", "RCNNThreshold"):
         if detector is None or color is None:
             raise ValueError("RCNN segmentation needs a detector and color image")

@@ -30,12 +30,14 @@ NUM_CLASSES = 12  # APC: background + 11 objects (predict:168)
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--steps", type=int, default=600)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--size", type=int, default=160)
     p.add_argument("--scenes", type=int, default=48)
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--model", default="FCN_Vgg16_32s_small")
+    # stride-16 atrous variant: objects span 2-8 feature cells at the
+    # serving scales; the 32s masks were too blobby (IoU ~0.3).
+    p.add_argument("--model", default="AtrousFCN_Vgg16_16s_small")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     p.add_argument(
         "--out",
@@ -72,22 +74,29 @@ def main(argv=None):
     meshes = {
         n: assets.decimate_to_max_faces(db[n].mesh, 2000) for n in OBJECTS
     }
-    intr = np.array(
+    # Two rendering scales so the FCN serves both its native training scale
+    # and the 640x480 pipeline scale (object apparent size varies 2x).
+    intr1 = np.array(
         [[307.0, 0.0, 160.0], [0.0, 307.0, 120.0], [0.0, 0.0, 1.0]], np.float32
     )
+    intr2 = intr1 * np.array([[2.0], [2.0], [1.0]], np.float32)
     rng = np.random.default_rng(0)
-    print(f"rendering {args.scenes} training scenes...", flush=True)
+    print(f"rendering {args.scenes} training scenes (2 scales)...", flush=True)
     colors, labels = [], []
-    for _ in range(args.scenes):
-        c, l, _, _ = synthdata.render_scene(
-            meshes, OBJECTS, rng, intr, 240, 320
-        )
+    for i in range(args.scenes):
+        if i % 3 == 2:
+            c, l, _, _ = synthdata.render_scene(meshes, OBJECTS, rng, intr2, 480, 640)
+        else:
+            c, l, _, _ = synthdata.render_scene(meshes, OBJECTS, rng, intr1, 240, 320)
         colors.append(c)
         labels.append(l)
-    # Held-out scenes for the convergence check.
+    # Held-out scenes for the convergence check (both scales).
     val = [
-        synthdata.render_scene(meshes, OBJECTS, rng, intr, 240, 320)[:2]
-        for _ in range(6)
+        synthdata.render_scene(meshes, OBJECTS, rng, intr1, 240, 320)[:2]
+        for _ in range(4)
+    ] + [
+        synthdata.render_scene(meshes, OBJECTS, rng, intr2, 480, 640)[:2]
+        for _ in range(2)
     ]
 
     model = fcn.build_model(args.model, num_classes=NUM_CLASSES)

@@ -137,3 +137,28 @@ def test_pallas_icp_interpret_matches_xla(rng):
     b = model @ want[:3, :3].T + want[:3, 3]
     assert np.mean(np.linalg.norm(a - b, axis=1)) < 1e-3
     assert check_alignment(got, true_pose, model, tol=0.004)
+
+
+def test_nn_refresh_reuse_converges(rng):
+    # Correspondence reuse (nn_refresh=2): same refresh budget must converge
+    # to the same alignment as full per-iteration NN within tolerance.
+    model, mnrm, seg, true_pose, init = make_case(rng, perturb_deg=5, perturb_t=0.01)
+    mask = np.ones(len(seg), bool)
+    full = np.asarray(
+        icp.refine_icp(
+            jnp.asarray(init)[None], jnp.asarray(model), jnp.asarray(mnrm),
+            jnp.asarray(seg), jnp.asarray(mask), iters=10,
+        )[0]
+    )
+    reuse = np.asarray(
+        icp.refine_icp(
+            jnp.asarray(init)[None], jnp.asarray(model), jnp.asarray(mnrm),
+            jnp.asarray(seg), jnp.asarray(mask), iters=10, nn_refresh=2,
+        )[0]
+    )
+    assert check_alignment(full, true_pose, model)
+    assert check_alignment(reuse, true_pose, model)
+    # And reuse stays close to the full solution itself.
+    a = model @ reuse[:3, :3].T + reuse[:3, 3]
+    b = model @ full[:3, :3].T + full[:3, 3]
+    assert np.mean(np.linalg.norm(a - b, axis=1)) < 0.002

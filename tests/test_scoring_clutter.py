@@ -1,0 +1,58 @@
+"""Ranking fidelity of the coarse->fine scoring pipeline under clutter.
+
+VERDICT r1 item 9: the throughput bench's easy workload (all hypotheses
+near-correct) cannot catch a pipeline that mis-ranks; this asserts that with
+distractor segment points and mixed-quality hypotheses (bench.py clutter
+variant at CPU scale) the hierarchical pipeline's chosen top-1 equals the
+exhaustive full-resolution weighted-LCP top-1.
+"""
+
+import numpy as np
+
+import bench
+from physimglobalpose_tpu.ops import lcp, scoring
+
+
+def _run(seed):
+    (tfs, model_m, nrm_m, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask) = (
+        bench.make_inputs(seed=seed, clutter=True, h=512, nv=1024, nm=256, ns=256)
+    )
+    out = scoring.score_refine_pipeline(
+        tfs, model_m, nrm_m, model_v, nrm_v,
+        seg, seg_nrm, seg_prob, seg_mask,
+        top_k=64, coarse_subsample=8, icp_iters=5, icp_subsample=2,
+        use_pallas=False,
+    )
+    # Exhaustive reference: full-resolution weighted LCP on ALL hypotheses
+    # (no coarse gate, no refinement).
+    exhaustive = np.asarray(
+        lcp.lcp_scores_xla(
+            tfs, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask, weighted=True
+        )
+    )
+    return tfs, out, exhaustive
+
+
+def test_coarse_fine_top1_matches_exhaustive():
+    for seed in (0, 1, 2):
+        tfs, out, exhaustive = _run(seed)
+        best_exh = np.asarray(tfs)[int(np.argmax(exhaustive))]
+        best_pipe = np.asarray(out.top_transforms[0])
+        # The pipeline's winner is ICP-refined, so compare by translation:
+        # it must sit within refinement distance (<2 cm) of the exhaustive
+        # winner, never on a garbage hypothesis (>=10 cm off).
+        dist = np.linalg.norm(best_pipe[:3, 3] - best_exh[:3, 3])
+        assert dist < 0.02, f"seed {seed}: pipeline top-1 {dist:.3f} m from exhaustive"
+        # And its fine score must dominate the exhaustive unrefined best.
+        assert float(out.top_scores[0]) >= float(exhaustive.max()) - 1e-3
+
+
+def test_coarse_gate_keeps_all_good_hypotheses():
+    tfs, out, exhaustive = _run(seed=3)
+    # Every genuinely good hypothesis (exhaustive score within 80% of best)
+    # must survive the coarse gate into the top-64.
+    good = exhaustive >= 0.8 * exhaustive.max()
+    coarse = np.asarray(out.coarse_scores)
+    kept = np.argsort(-coarse)[:64]
+    missed = set(np.nonzero(good)[0]) - set(kept.tolist())
+    assert not missed, f"coarse gate dropped good hypotheses: {sorted(missed)[:5]}"
