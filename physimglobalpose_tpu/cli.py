@@ -26,7 +26,7 @@ def main(argv=None):
                    help="scene directory (frame-000000.*), or .npz for CAM")
     p.add_argument("--segmentation", default="GT",
                    choices=["GT", "FCN", "FCNThreshold", "RCNN", "RCNNThreshold"])
-    p.add_argument("--hypothesis", default="PCS", choices=["PCS", "SUPER4PCS", "PPF_VOTING"])
+    p.add_argument("--hypothesis", default="PCS", choices=["PCS", "SUPER4PCS", "V4PCS", "PPF_VOTING"])
     p.add_argument("--verification", default="LCP", choices=["LCP", "MCTS", "GREEDY"])
     p.add_argument("--obj-config", required=True, help="obj_config.yml path")
     p.add_argument("--model-dir", required=True, help="mesh directory")

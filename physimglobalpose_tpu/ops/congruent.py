@@ -256,3 +256,79 @@ def extract_congruent_quads_classic(
     ql = jnp.take_along_axis(pairs2[..., 1], k2_idx, axis=1)
     quads = jnp.stack([qi, qj, qk, ql], axis=-1)
     return quads, valid
+
+
+def extract_congruent_quads_tetra(
+    bases: BaseSet,
+    seg_pts: jnp.ndarray,
+    model_pts: jnp.ndarray,
+    model_mask: jnp.ndarray,
+    key: jax.Array,
+    max_pairs: int = 256,
+    max_quads_per_base: int = 100,
+    dist_threshold: float = 0.01,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """V4PCS tetrahedron congruence (operMode 2): all SIX pairwise base
+    distances must match (FindCongruentQuadrilateralsV4PCS,
+    match4pcsBase.cc:978-1044 - inactive in the reference, operMode
+    hardcoded to 1 at :300; provided here for completeness).
+
+    The reference joins six per-distance pair lists through connectivity
+    maps; on TPU the same predicate is a [B, K, K] outer test: pair list 1
+    supplies (v1, v2) at base distance d12, pair list 2 supplies (v3, v4)
+    at d34, and a combination is congruent when the four cross distances
+    (d13, d14, d23, d24) also match within threshold.
+    """
+    b = bases.indices.shape[0]
+    q = max_quads_per_base
+    k_pairs1, k_pairs2, k_sel = jax.random.split(key, 3)
+
+    i1, i2, i3, i4 = (bases.indices[:, k] for k in range(4))
+    p1, p2, p3, p4 = (seg_pts[i] for i in (i1, i2, i3, i4))
+    d12 = jnp.linalg.norm(p2 - p1, axis=-1)  # [B]
+    d34 = jnp.linalg.norm(p4 - p3, axis=-1)
+    d13 = jnp.linalg.norm(p3 - p1, axis=-1)
+    d14 = jnp.linalg.norm(p4 - p1, axis=-1)
+    d23 = jnp.linalg.norm(p3 - p2, axis=-1)
+    d24 = jnp.linalg.norm(p4 - p2, axis=-1)
+
+    pairs1, m1 = extract_pairs_by_distance(
+        model_pts, model_mask, d12, dist_threshold, k_pairs1, max_pairs
+    )
+    pairs2, m2 = extract_pairs_by_distance(
+        model_pts, model_mask, d34, dist_threshold, k_pairs2, max_pairs
+    )
+
+    qa = model_pts[pairs1[..., 0]]  # [B, K, 3] candidate v1
+    qb = model_pts[pairs1[..., 1]]  # candidate v2
+    qc = model_pts[pairs2[..., 0]]  # candidate v3
+    qd = model_pts[pairs2[..., 1]]  # candidate v4
+
+    def cross(a_pts, b_pts, dist):
+        dd = jnp.linalg.norm(
+            a_pts[:, :, None, :] - b_pts[:, None, :, :], axis=-1
+        )  # [B, K, K]
+        return jnp.abs(dd - dist[:, None, None]) <= dist_threshold
+
+    ok = (
+        cross(qa, qc, d13)
+        & cross(qa, qd, d14)
+        & cross(qb, qc, d23)
+        & cross(qb, qd, d24)
+        & m1[:, :, None]
+        & m2[:, None, :]
+        & bases.valid[:, None, None]
+    )
+
+    flat_ok = ok.reshape(b, -1)
+    priority = jnp.where(flat_ok, jax.random.uniform(k_sel, flat_ok.shape), 2.0)
+    _, sel = jax.lax.top_k(-priority, q)
+    valid = jnp.take_along_axis(flat_ok, sel, axis=1)
+    k1_idx = sel // max_pairs
+    k2_idx = sel % max_pairs
+    qi = jnp.take_along_axis(pairs1[..., 0], k1_idx, axis=1)
+    qj = jnp.take_along_axis(pairs1[..., 1], k1_idx, axis=1)
+    qk = jnp.take_along_axis(pairs2[..., 0], k2_idx, axis=1)
+    ql = jnp.take_along_axis(pairs2[..., 1], k2_idx, axis=1)
+    quads = jnp.stack([qi, qj, qk, ql], axis=-1)
+    return quads, valid

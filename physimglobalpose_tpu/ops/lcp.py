@@ -107,6 +107,7 @@ def _lcp_kernel(
     cos_gate: float,
     weighted: bool,
     total_nv: int,
+    precision=None,
 ):
     """Grid (h_tiles, nv_tiles): TH hypotheses x one model tile per program.
 
@@ -135,6 +136,7 @@ def _lcp_kernel(
         partial = _score_one(
             a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, total_nv,
             (r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2),
+            precision,
         )
         row = jnp.full((1, 128), partial, jnp.float32)
         prev = out_ref[pl.ds(hi, 1), :]
@@ -146,7 +148,8 @@ def _lcp_kernel(
     jax.lax.fori_loop(0, th, one_hypothesis, 0)
 
 
-def _score_one(a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv, scal):
+def _score_one(a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv, scal,
+               precision=None):
     """Partial score of this model tile (normalized by the FULL model size nv)."""
     (r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2) = scal
     ns = segcat_ref.shape[0]
@@ -192,10 +195,12 @@ def _score_one(a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv, s
             axis=1,
         )
         d2 = jax.lax.dot_general(
-            a_pos, b1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            a_pos, b1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
         )  # [Nv, tile]
         ndot = jax.lax.dot_general(
-            a_pos, b2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            a_pos, b2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
         )
         tile_min = jnp.min(d2, axis=-1, keepdims=True)  # [Nv, 1]
         is_best = d2 <= tile_min
@@ -223,9 +228,18 @@ def _score_one(a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv, s
     return jnp.sum(contrib) / nv
 
 
+_PRECISIONS = {
+    None: None,
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("delta", "normal_gate_deg", "weighted", "ns_tile", "wide"),
+    static_argnames=("delta", "normal_gate_deg", "weighted", "ns_tile", "wide",
+                     "matmul_precision"),
 )
 def lcp_scores_pallas(
     transforms: jnp.ndarray,
@@ -238,19 +252,30 @@ def lcp_scores_pallas(
     delta: float = 0.005,
     normal_gate_deg: float = 30.0,
     weighted: bool = True,
-    ns_tile: int = 256,
+    ns_tile: int = 1024,
     wide: bool = False,  # EXPERIMENTAL: crashes the Mosaic compiler on v5e
+    matmul_precision: str | None = None,
 ) -> jnp.ndarray:
     """Pallas TPU kernel: grid over hypothesis tiles, segment tiles stream
     through VMEM with running NN state. Falls back on identical math to
-    lcp_scores_xla (tested for equivalence)."""
+    lcp_scores_xla (tested for equivalence).
+
+    matmul_precision: None/"highest" = exact f32 distances (6 bf16 MXU
+    passes); "high" = 3 passes (~2x faster, d^2 error ~1e-6 << delta^2 on
+    this kernel's difference-of-small-magnitudes formulation); "default" =
+    1 bf16 pass (~6x faster, d^2 error ~5e-5 - coarse-ranking only)."""
     h = transforms.shape[0]
     nv = model_pts.shape[0]
     ns = seg_pts.shape[0]
+    ns_tile = min(ns_tile, ns + ((-ns) % 128))
     pad_ns = (-ns) % ns_tile
     h_tile = 8  # sublane tile: 8 hypotheses per grid program (internal constant)
     pad_h = (-h) % h_tile
-    nv_tile = min(2048, nv)
+    # VMEM budget: the kernel's live [nv_tile, ns_tile] d2 + ndot blocks must
+    # stay well under the 16 MB scoped-vmem limit (f32, x2 blocks, plus a/b
+    # operands) - larger ns_tile means fewer b-builds and wider MXU launches
+    # (measured 1.7x on the coarse stage), so cap nv_tile to compensate.
+    nv_tile = min(nv, max(512, (1 << 20) // ns_tile))
     pad_nv = (-nv) % nv_tile
 
     tr16 = jnp.concatenate(
@@ -295,6 +320,7 @@ def lcp_scores_pallas(
             cos_gate=math.cos(math.radians(normal_gate_deg)),
             weighted=weighted,
             total_nv=nv,
+            precision=_PRECISIONS[matmul_precision],
         ),
         out_shape=jax.ShapeDtypeStruct((h + pad_h, 128), jnp.float32),
         grid=((h + pad_h) // h_tile, (nv + pad_nv) // nv_tile),
@@ -324,10 +350,14 @@ def lcp_scores(
     normal_gate_deg: float = 30.0,
     weighted: bool = True,
     use_pallas: bool | None = None,
+    matmul_precision: str | None = None,
 ):
     """Dispatch: Pallas on TPU, XLA elsewhere."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    kw = {}
+    if use_pallas:
+        kw["matmul_precision"] = matmul_precision
     fn = lcp_scores_pallas if use_pallas else lcp_scores_xla
     return fn(
         transforms,
@@ -340,6 +370,7 @@ def lcp_scores(
         delta=delta,
         normal_gate_deg=normal_gate_deg,
         weighted=weighted,
+        **kw,
     )
 
 
@@ -354,6 +385,7 @@ def _lcp_kernel_wide(
     cos_gate: float,
     weighted: bool,
     total_nv: int,
+    precision=None,
 ):
     """Wide-N variant: all TH hypotheses share one matmul per segment tile.
 
@@ -417,10 +449,12 @@ def _lcp_kernel_wide(
         b2 = jnp.concatenate(b2_blocks, axis=0)
 
         d2 = jax.lax.dot_general(
-            a_pos, b1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            a_pos, b1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
         )  # [nv_tile, TH*ns_tile]
         ndot = jax.lax.dot_general(
-            a_pos, b2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            a_pos, b2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
         )
 
         mins, probs, dots = [], [], []

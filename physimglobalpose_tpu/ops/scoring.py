@@ -32,6 +32,7 @@ class ScoredHypotheses(NamedTuple):
     static_argnames=(
         "top_k", "coarse_subsample", "icp_iters", "icp_subsample", "delta",
         "normal_gate_deg", "use_pallas", "icp_nn_refresh",
+        "coarse_precision", "fine_precision",
     ),
 )
 def score_refine_pipeline(
@@ -52,6 +53,8 @@ def score_refine_pipeline(
     normal_gate_deg: float = 30.0,
     use_pallas: bool | None = None,
     icp_nn_refresh: int = 1,
+    coarse_precision: str | None = None,
+    fine_precision: str | None = None,
 ) -> ScoredHypotheses:
     """Score all H hypotheses coarsely, refine + rescore the best top_k."""
     h = transforms.shape[0]
@@ -60,11 +63,17 @@ def score_refine_pipeline(
     # Stage 1: coarse LCP on a strided validation subsample.
     coarse_pts = model_validation_pts[::coarse_subsample]
     coarse_nrm = model_validation_nrm[::coarse_subsample]
+    # coarse_precision="default" runs the ranking pass in 1 bf16 MXU pass
+    # (~6x the f32 matmul rate); its ~5e-5 d^2 noise only perturbs points in
+    # a ~5 mm band around delta, and the ranking-fidelity tests
+    # (tests/test_scoring_clutter.py) hold because the fine stage rescores
+    # the survivors exactly.
     coarse = lcp_mod.lcp_scores(
         transforms, coarse_pts, coarse_nrm,
         seg_pts, seg_nrm, seg_prob, seg_mask,
         delta=delta, normal_gate_deg=normal_gate_deg,
         weighted=True, use_pallas=use_pallas,
+        matmul_precision=coarse_precision,
     )
 
     # Stage 2: top-k survivors get batched ICP refinement. Measured on v5e:
@@ -87,6 +96,7 @@ def score_refine_pipeline(
         seg_pts, seg_nrm, seg_prob, seg_mask,
         delta=delta, normal_gate_deg=normal_gate_deg,
         weighted=True, use_pallas=use_pallas,
+        matmul_precision=fine_precision,
     )
     order = jnp.argsort(-fine)
     return ScoredHypotheses(

@@ -127,7 +127,7 @@ def sweep_scenes(
     api.estimate_pose(..., verification_mode="LCP").
     """
     gen_modes = {"PCS": "stocs", "CONGRUENT_SET_MATCHING": "stocs",
-                 "SUPER4PCS": "super4pcs"}
+                 "SUPER4PCS": "super4pcs", "V4PCS": "v4pcs"}
     if hypothesis_mode not in gen_modes:
         raise ValueError(f"unsupported sweep hypothesis mode {hypothesis_mode!r}")
 

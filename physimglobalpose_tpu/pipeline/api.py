@@ -137,6 +137,7 @@ def estimate_pose(
         "PCS": "stocs",
         "CONGRUENT_SET_MATCHING": "stocs",
         "SUPER4PCS": "super4pcs",
+        "V4PCS": "v4pcs",
     }
     batchable = (
         hypothesis_mode in gen_modes

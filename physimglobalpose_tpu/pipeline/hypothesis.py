@@ -58,7 +58,9 @@ def generate_hypotheses(
 
     mode="stocs" (default): segmentation-prior weighted bases + PPF-table
     pair lists (the reference's operMode 1). mode="super4pcs": uniform bases
-    + geometric distance pair extraction (operMode 0).
+    + geometric distance pair extraction (operMode 0). mode="v4pcs":
+    tetrahedron bases matched on all six pairwise distances (operMode 2,
+    match4pcsBase.cc:978-1044 - inactive in the reference).
     """
     st = cfg.stocs
     b = num_bases or st.num_bases
@@ -99,6 +101,21 @@ def generate_hypotheses(
             min_spread=st.min_point_spacing,
         )
         quads, quads_valid = congruent.extract_congruent_quads_classic(
+            bases,
+            seg.pts,
+            model_search_pts,
+            model_search_mask,
+            k_quad,
+            max_pairs=st.max_pairs_per_ppf,
+            max_quads_per_base=st.max_quads_per_base,
+            dist_threshold=st.distance_factor * st.delta,
+        )
+    elif mode == "v4pcs":
+        bases = sampling.sample_bases_uniform(
+            k_base, seg.pts, seg.mask, num_bases=b,
+            min_spread=st.min_point_spacing,
+        )
+        quads, quads_valid = congruent.extract_congruent_quads_tetra(
             bases,
             seg.pts,
             model_search_pts,

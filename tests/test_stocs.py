@@ -231,3 +231,40 @@ def test_base_sampling_follows_probability_weighting(box_assets, rng):
     # First-draw mass of the high block alone is 20/(20+100*0.1) = 2/3;
     # later PPF-gated draws dilute it, so expect well above uniform (1/6).
     assert frac_high > 0.4, frac_high
+
+
+def test_v4pcs_mode_recovers_pose(box_assets, rng):
+    # V4PCS tetrahedron mode (operMode 2, match4pcsBase.cc:978-1044 -
+    # inactive in the reference): six-distance congruence on non-coplanar
+    # bases must also recover the rigid transform.
+    mpts, mnrm, table = box_assets
+    seg_pts, seg_nrm, true_pose = make_segment(rng, mpts, mnrm)
+    n_pad = 256
+    pts = np.zeros((n_pad, 3), np.float32)
+    nrm = np.zeros((n_pad, 3), np.float32)
+    pts[: len(seg_pts)] = seg_pts
+    nrm[: len(seg_pts)] = seg_nrm
+    mask = np.zeros(n_pad, bool)
+    mask[: len(seg_pts)] = True
+    seg = Segment3D(
+        pts=jnp.asarray(pts), nrm=jnp.asarray(nrm),
+        prob=jnp.asarray(mask.astype(np.float32)), mask=jnp.asarray(mask),
+    )
+    cfg = PipelineConfig(
+        stocs=StoCSConfig(num_bases=64, max_quads_per_base=32, max_pairs_per_ppf=128),
+    )
+    res = hypothesis.generate_hypotheses(
+        jax.random.key(7), seg,
+        jnp.asarray(mpts), jnp.ones(len(mpts), bool), table,
+        jnp.asarray(mpts), jnp.asarray(mnrm),
+        cfg, use_pallas=False, mode="v4pcs",
+    )
+    assert bool(res.enough_points)
+    assert float(res.best_score) > 0.15
+    best = np.asarray(res.best_transform)
+    a = mpts @ best[:3, :3].T + best[:3, 3]
+    b = mpts @ true_pose[:3, :3].T + true_pose[:3, 3]
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(b).query(a)
+    assert np.mean(d) < 0.01
