@@ -117,6 +117,12 @@ def estimate_pose(
         from physimglobalpose_tpu.models import fcn as fcn_mod
 
         nn_predictor = fcn_mod.load_shipped_predictor()
+    if segmentation_mode in ("RCNN", "RCNNThreshold") and detector is None:
+        # No injected detector: the shipped FCN doubles as the region scorer
+        # (the reference's Faster-RCNN service slot, bin/detect_bbox).
+        from physimglobalpose_tpu.pipeline.detector import make_fcn_detector
+
+        detector = make_fcn_detector()
 
     with trace_span(tracer, "segmentation"):
         class_ids = [db.class_of(n) for n in sc.object_names]

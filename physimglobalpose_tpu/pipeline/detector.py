@@ -147,3 +147,41 @@ def nms_boxes(
         iou = inter / (areas[i] + areas[order[1:]] - inter)
         order = order[1:][iou <= iou_threshold]
     return np.asarray(keep, np.int64)
+
+
+def make_fcn_detector(predictor=None, prob_threshold: float = 0.5,
+                      min_pixels: int = 100):
+    """Neural detector from a segmentation predictor (the shipped FCN by
+    default): per-class probability maps -> thresholded blobs -> NMS'd
+    bounding boxes + scores.
+
+    The learned counterpart of make_size_matching_detector, filling the
+    reference's Faster-RCNN service slot (bin/detect_bbox,
+    recognition.py:27-61) without Caffe: the FCN that already ships for the
+    segmentation strategies doubles as the region scorer. Returns
+    detector(color, class_ids) -> {class_id: (tl_x, tl_y, br_x, br_y)}.
+    """
+
+    def detector(color: np.ndarray, class_ids: Sequence[int]) -> Dict[int, tuple]:
+        nonlocal predictor
+        if predictor is None:
+            from physimglobalpose_tpu.models import fcn as fcn_mod
+
+            predictor = fcn_mod.load_shipped_predictor()
+        probs = predictor(color, class_ids)
+        boxes, scores, classes = [], [], []
+        for c in class_ids:
+            hard = probs[c] >= prob_threshold
+            if hard.sum() < min_pixels:
+                continue
+            ys, xs = np.nonzero(hard)
+            boxes.append((int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())))
+            scores.append(float(probs[c][hard].mean()))
+            classes.append(c)
+        if not boxes:
+            return {}
+        keep = nms_boxes(np.asarray(boxes, np.float64), np.asarray(scores),
+                         iou_threshold=0.8)
+        return {classes[i]: boxes[i] for i in keep}
+
+    return detector

@@ -89,3 +89,36 @@ def test_shipped_predictor_masks(db):
         gt = label == c
         iou = (hard & gt).sum() / max((hard | gt).sum(), 1)
         assert iou > 0.4, f"class {c}: IoU {iou:.2f}"
+
+
+@needs_ckpt
+def test_rcnn_mode_with_fcn_detector(db, tmp_path):
+    # RCNN strategy with NO injected detector: the shipped FCN doubles as
+    # the region scorer (reference Faster-RCNN service slot).
+    intr = np.array(
+        [[613.998, 0.0, 320.0], [0.0, 613.998, 240.0], [0.0, 0.0, 1.0]], np.float32
+    )
+    meshes = {n: assets.decimate_to_max_faces(db[n].mesh, 2000) for n in OBJECTS}
+    rng = np.random.default_rng(555)
+    color, label, poses_cam, depth = synthdata.render_scene(
+        meshes, OBJECTS, rng, intr, 480, 640, max_objects=2
+    )
+    sd = str(tmp_path / "scene")
+    gt_world = synthdata.write_scene_dir(sd, color, depth, label, intr, poses_cam)
+
+    result = api.estimate_pose(
+        sd, db, dataset="APC", segmentation_mode="RCNN",
+        hypothesis_mode="PCS", verification_mode="LCP",
+        cfg=SMALL_CFG, seed=0, write_result=False,
+    )
+    # Rectangular masks are crude; every present object must still localize
+    # to within its own extent.
+    assert len(result.objects) == len(poses_cam)
+    ok = 0
+    for est in result.objects:
+        if est.score <= 0.03:
+            continue
+        err = np.linalg.norm(est.pose_world[:3, 3] - gt_world[est.name][:3, 3])
+        if err < 0.08:
+            ok += 1
+    assert ok >= 1, "no object localized via FCN-backed RCNN boxes"
