@@ -148,3 +148,30 @@ def test_score_refine_pipeline(rng):
     # ICP refinement should bring perturbed poses close to the true one.
     best = np.asarray(out.top_transforms[0])
     assert np.linalg.norm(best[:3, 3] - pose[:3, 3]) < 0.01
+
+
+def test_segside_interpret_matches_xla(rng):
+    # The segment-stationary production kernel in interpreter mode.
+    import functools
+    from unittest import mock
+
+    model, mn, seg_pts, seg_nrm, seg_prob, pose = make_scene(rng, n_model=128, n_seg=96)
+    mask = np.ones(len(seg_pts), bool)
+    mask[-8:] = False
+    args = (
+        jnp.asarray(np.stack([pose, np.eye(4, dtype=np.float32)])),
+        jnp.asarray(model), jnp.asarray(mn), jnp.asarray(seg_pts),
+        jnp.asarray(seg_nrm), jnp.asarray(seg_prob), jnp.asarray(mask),
+    )
+    want = np.asarray(lcp.lcp_scores_xla(*args))
+    want_u = np.asarray(lcp.lcp_scores_xla(*args, weighted=False))
+    from jax.experimental import pallas as pl
+
+    orig_call = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig_call, interpret=True)):
+        got = np.asarray(lcp.lcp_scores_pallas_segside.__wrapped__(*args))
+        got_u = np.asarray(
+            lcp.lcp_scores_pallas_segside.__wrapped__(*args, weighted=False)
+        )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    np.testing.assert_allclose(got_u, want_u, atol=1e-4)
