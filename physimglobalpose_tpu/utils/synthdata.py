@@ -143,10 +143,13 @@ def write_scene_dir(
     poses_cam: Dict[str, np.ndarray],
     cam_height: float = 1.5,
     table_depth: float = 0.8,
+    dataset: str = "APC",
 ) -> Dict[str, np.ndarray]:
-    """Write an APC-layout scene directory (reference file contract:
+    """Write a reference-layout scene directory (file contract:
     frame-000000.{color,depth,mask}.png + gt_info.yml). Returns GT world
-    poses per object. Camera looks straight down from cam_height."""
+    poses per object. Camera looks straight down from cam_height.
+    dataset picks the depth codec: APC stores bit-rotated, YCB plain
+    (utilities.cpp:47-61)."""
     import os
 
     from PIL import Image
@@ -155,10 +158,9 @@ def write_scene_dir(
     from physimglobalpose_tpu.geometry import depthio
 
     os.makedirs(sd, exist_ok=True)
-    # APC layout: scenes store depth bit-rotated (load_scene decodes APC
-    # depth with rot-left-13, utilities.cpp:47-61).
     depthio.write_depth_png(
-        os.path.join(sd, "frame-000000.depth.png"), depth, bit_rotated=True
+        os.path.join(sd, "frame-000000.depth.png"), depth,
+        bit_rotated=(dataset == "APC"),
     )
     Image.fromarray(label.astype(np.uint16)).save(
         os.path.join(sd, "frame-000000.mask.png")

@@ -152,3 +152,32 @@ def test_cam_scene_from_arrays(db):
     )
     assert len(result.objects) == 3
     assert all(o.score > 0.05 for o in result.objects)
+
+
+def test_ycb_layout_scene(db, tmp_path):
+    """YCB dataset path: plain (non-bit-rotated) depth codec end-to-end."""
+    from physimglobalpose_tpu.models import assets
+    from physimglobalpose_tpu.utils import synthdata
+
+    intr = np.array(
+        [[613.998, 0.0, 320.0], [0.0, 613.998, 240.0], [0.0, 0.0, 1.0]], np.float32
+    )
+    name = "kleenex_tissue_box"
+    meshes = {name: assets.decimate_to_max_faces(db[name].mesh, 2000)}
+    rng = np.random.default_rng(31)
+    color, label, poses_cam, depth = synthdata.render_scene(
+        meshes, {name: 8}, rng, intr, 480, 640, max_objects=1
+    )
+    sd = str(tmp_path / "ycb_scene")
+    gt_world = synthdata.write_scene_dir(
+        sd, color, depth, label, intr, poses_cam, dataset="YCB"
+    )
+    result = api.estimate_pose(
+        sd, db, dataset="YCB", segmentation_mode="GT",
+        hypothesis_mode="PCS", verification_mode="LCP",
+        cfg=SMALL_CFG, seed=0, write_result=False,
+    )
+    est = result.objects[0]
+    assert est.score > 0.1
+    err = np.linalg.norm(est.pose_world[:3, 3] - gt_world[name][:3, 3])
+    assert err < 0.03, f"YCB-path pose off by {err:.3f} m"
