@@ -42,7 +42,7 @@ H = 16384  # hypotheses per batch
 NV = 4096  # dense validation cloud (max_validation_points)
 NM = 1024  # sparse ICP model cloud (max_model_points)
 NS = 1024  # segment size (max_segment_points)
-ICP_ITERS = 10
+ICP_ITERS = 6
 
 
 def make_inputs(seed=0, clutter=False, h=H, nv=NV, nm=NM, ns=NS):
@@ -98,18 +98,18 @@ def main():
     )
 
     def score_step(tfs):
-        # Tuned r2 on v5e (scripts/tpu_perf_experiments.py): bf16 coarse
-        # ranking (exact-top-64 survival = 100%, fine rescoring exact),
-        # ICP correspondence reuse every 2 iters, top-512 survivors (the
-        # product consumes top-25; 512 retains every within-80%-of-best
-        # hypothesis on the clutter workload).
+        # Tuned r2 on v5e (scripts/tpu_perf_experiments.py): bf16 UNWEIGHTED
+        # coarse ranking (within-delta count, no normal matmul; good-hyp
+        # survival = 100% on the clutter workload, fine stage rescores
+        # exactly), ICP correspondence reuse every 2 iters, top-512
+        # survivors (the product consumes top-25).
         out = scoring.score_refine_pipeline(
             tfs, model_m, nrm_m, model_v, nrm_v,
             seg, seg_nrm, seg_prob, seg_mask,
             top_k=512, coarse_subsample=8, icp_iters=ICP_ITERS, icp_subsample=2,
             use_pallas=on_tpu,
             coarse_precision="default" if on_tpu else None,
-            icp_nn_refresh=2,
+            icp_nn_refresh=2, coarse_weighted=False,
         )
         return out.top_transforms, out.top_scores
 
@@ -136,7 +136,7 @@ def main():
             {
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
-                "unit": f"hyp/s (coarse-LCP@512 -> ICP-10it@512 top-512 -> fine-LCP@4k, H=16384, {variant})",
+                "unit": f"hyp/s (coarse-LCP@512 -> ICP-{ICP_ITERS}it@512 top-512 -> fine-LCP@4k, H=16384, {variant})",
                 "vs_baseline": round(hyps_per_sec / baseline_hyps_per_sec(clutter), 2),
             }
         )

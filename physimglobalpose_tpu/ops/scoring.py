@@ -32,7 +32,7 @@ class ScoredHypotheses(NamedTuple):
     static_argnames=(
         "top_k", "coarse_subsample", "icp_iters", "icp_subsample", "delta",
         "normal_gate_deg", "use_pallas", "icp_nn_refresh",
-        "coarse_precision", "fine_precision",
+        "coarse_precision", "fine_precision", "coarse_weighted",
     ),
 )
 def score_refine_pipeline(
@@ -55,6 +55,7 @@ def score_refine_pipeline(
     icp_nn_refresh: int = 1,
     coarse_precision: str | None = None,
     fine_precision: str | None = None,
+    coarse_weighted: bool = True,
 ) -> ScoredHypotheses:
     """Score all H hypotheses coarsely, refine + rescore the best top_k."""
     h = transforms.shape[0]
@@ -68,11 +69,14 @@ def score_refine_pipeline(
     # a ~5 mm band around delta, and the ranking-fidelity tests
     # (tests/test_scoring_clutter.py) hold because the fine stage rescores
     # the survivors exactly.
+    # coarse_weighted=False ranks by the plain within-delta count (Verify
+    # semantics) - skips the whole normal-agreement matmul and its
+    # reductions; the exact weighted fine stage re-applies the gate.
     coarse = lcp_mod.lcp_scores(
         transforms, coarse_pts, coarse_nrm,
         seg_pts, seg_nrm, seg_prob, seg_mask,
         delta=delta, normal_gate_deg=normal_gate_deg,
-        weighted=True, use_pallas=use_pallas,
+        weighted=coarse_weighted, use_pallas=use_pallas,
         matmul_precision=coarse_precision,
     )
 

@@ -13,7 +13,7 @@ import bench
 from physimglobalpose_tpu.ops import lcp, scoring
 
 
-def _run(seed):
+def _run(seed, coarse_weighted=True):
     (tfs, model_m, nrm_m, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask) = (
         bench.make_inputs(seed=seed, clutter=True, h=512, nv=1024, nm=256, ns=256)
     )
@@ -21,7 +21,7 @@ def _run(seed):
         tfs, model_m, nrm_m, model_v, nrm_v,
         seg, seg_nrm, seg_prob, seg_mask,
         top_k=64, coarse_subsample=8, icp_iters=5, icp_subsample=2,
-        use_pallas=False,
+        use_pallas=False, coarse_weighted=coarse_weighted,
     )
     # Exhaustive reference: full-resolution weighted LCP on ALL hypotheses
     # (no coarse gate, no refinement).
@@ -36,15 +36,27 @@ def _run(seed):
 def test_coarse_fine_top1_matches_exhaustive():
     for seed in (0, 1, 2):
         tfs, out, exhaustive = _run(seed)
-        best_exh = np.asarray(tfs)[int(np.argmax(exhaustive))]
-        best_pipe = np.asarray(out.top_transforms[0])
-        # The pipeline's winner is ICP-refined, so compare by translation:
-        # it must sit within refinement distance (<2 cm) of the exhaustive
-        # winner, never on a garbage hypothesis (>=10 cm off).
-        dist = np.linalg.norm(best_pipe[:3, 3] - best_exh[:3, 3])
-        assert dist < 0.02, f"seed {seed}: pipeline top-1 {dist:.3f} m from exhaustive"
-        # And its fine score must dominate the exhaustive unrefined best.
-        assert float(out.top_scores[0]) >= float(exhaustive.max()) - 1e-3
+        _check_top1(tfs, out, exhaustive, seed)
+
+
+def test_unweighted_coarse_top1_matches_exhaustive():
+    # The bench's gate-free coarse ranking (within-delta count) must also
+    # deliver the exhaustive winner after fine rescoring.
+    for seed in (0, 1, 2):
+        tfs, out, exhaustive = _run(seed, coarse_weighted=False)
+        _check_top1(tfs, out, exhaustive, seed)
+
+
+def _check_top1(tfs, out, exhaustive, seed):
+    best_exh = np.asarray(tfs)[int(np.argmax(exhaustive))]
+    best_pipe = np.asarray(out.top_transforms[0])
+    # The pipeline's winner is ICP-refined, so compare by translation:
+    # it must sit within refinement distance (<2 cm) of the exhaustive
+    # winner, never on a garbage hypothesis (>=10 cm off).
+    dist = np.linalg.norm(best_pipe[:3, 3] - best_exh[:3, 3])
+    assert dist < 0.02, f"seed {seed}: pipeline top-1 {dist:.3f} m from exhaustive"
+    # And its fine score must dominate the exhaustive unrefined best.
+    assert float(out.top_scores[0]) >= float(exhaustive.max()) - 1e-3
 
 
 def test_coarse_gate_keeps_all_good_hypotheses():
