@@ -100,9 +100,11 @@ def main():
     def score_step(tfs):
         # Tuned r2 on v5e (scripts/tpu_perf_experiments.py): bf16 UNWEIGHTED
         # coarse ranking (within-delta count, no normal matmul; good-hyp
-        # survival = 100% on the clutter workload, fine stage rescores
-        # exactly), ICP correspondence reuse every 2 iters, top-512
-        # survivors (the product consumes top-25).
+        # survival = 100% on the clutter workload), ICP correspondence reuse
+        # every 2 iters, top-512 survivors, two-tier fine rescoring (bf16
+        # bulk + exact fp32 top-64; the product consumes top-25 and the
+        # top-1 lands within 2 mm of the exhaustive exact winner on both
+        # workloads).
         out = scoring.score_refine_pipeline(
             tfs, model_m, nrm_m, model_v, nrm_v,
             seg, seg_nrm, seg_prob, seg_mask,
@@ -110,6 +112,8 @@ def main():
             use_pallas=on_tpu,
             coarse_precision="default" if on_tpu else None,
             icp_nn_refresh=2, coarse_weighted=False,
+            fine_precision="default" if on_tpu else None,
+            fine_exact_k=64,
         )
         return out.top_transforms, out.top_scores
 

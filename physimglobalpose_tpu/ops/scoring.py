@@ -33,6 +33,7 @@ class ScoredHypotheses(NamedTuple):
         "top_k", "coarse_subsample", "icp_iters", "icp_subsample", "delta",
         "normal_gate_deg", "use_pallas", "icp_nn_refresh",
         "coarse_precision", "fine_precision", "coarse_weighted",
+        "fine_exact_k",
     ),
 )
 def score_refine_pipeline(
@@ -56,6 +57,7 @@ def score_refine_pipeline(
     coarse_precision: str | None = None,
     fine_precision: str | None = None,
     coarse_weighted: bool = True,
+    fine_exact_k: int = 0,
 ) -> ScoredHypotheses:
     """Score all H hypotheses coarsely, refine + rescore the best top_k."""
     h = transforms.shape[0]
@@ -102,6 +104,18 @@ def score_refine_pipeline(
         weighted=True, use_pallas=use_pallas,
         matmul_precision=fine_precision,
     )
+    if fine_exact_k and fine_precision == "default":
+        # Two-tier fine: the bulk rescoring ran in one bf16 MXU pass; the
+        # top fine_exact_k survivors (>= what the product consumes) get an
+        # exact fp32 rescore so the reported winners carry exact scores.
+        _, idx_e = jax.lax.top_k(fine, min(fine_exact_k, k))
+        exact = lcp_mod.lcp_scores(
+            refined[idx_e], model_validation_pts, model_validation_nrm,
+            seg_pts, seg_nrm, seg_prob, seg_mask,
+            delta=delta, normal_gate_deg=normal_gate_deg,
+            weighted=True, use_pallas=use_pallas,
+        )
+        fine = fine.at[idx_e].set(exact)
     order = jnp.argsort(-fine)
     return ScoredHypotheses(
         top_transforms=refined[order],

@@ -13,7 +13,7 @@ import bench
 from physimglobalpose_tpu.ops import lcp, scoring
 
 
-def _run(seed, coarse_weighted=True):
+def _run(seed, coarse_weighted=True, **extra):
     (tfs, model_m, nrm_m, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask) = (
         bench.make_inputs(seed=seed, clutter=True, h=512, nv=1024, nm=256, ns=256)
     )
@@ -21,7 +21,7 @@ def _run(seed, coarse_weighted=True):
         tfs, model_m, nrm_m, model_v, nrm_v,
         seg, seg_nrm, seg_prob, seg_mask,
         top_k=64, coarse_subsample=8, icp_iters=5, icp_subsample=2,
-        use_pallas=False, coarse_weighted=coarse_weighted,
+        use_pallas=False, coarse_weighted=coarse_weighted, **extra,
     )
     # Exhaustive reference: full-resolution weighted LCP on ALL hypotheses
     # (no coarse gate, no refinement).
@@ -57,6 +57,18 @@ def _check_top1(tfs, out, exhaustive, seed):
     assert dist < 0.02, f"seed {seed}: pipeline top-1 {dist:.3f} m from exhaustive"
     # And its fine score must dominate the exhaustive unrefined best.
     assert float(out.top_scores[0]) >= float(exhaustive.max()) - 1e-3
+
+
+def test_two_tier_fine_top1_matches_exhaustive():
+    # The bench's two-tier fine config (bf16 bulk + exact top-k rescore; on
+    # CPU both tiers are exact, so this exercises the code path and the
+    # ordering contract).
+    for seed in (0, 1):
+        tfs, out, exhaustive = _run(
+            seed, coarse_weighted=False,
+            fine_precision="default", fine_exact_k=8,
+        )
+        _check_top1(tfs, out, exhaustive, seed)
 
 
 def test_coarse_gate_keeps_all_good_hypotheses():
