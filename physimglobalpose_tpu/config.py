@@ -142,7 +142,10 @@ class MCTSConfig:
     max_search_seconds: float = 60.0
     branching: int = 25
     point_removal_threshold: float = 0.008
-    leaf_batch: int = 16  # leaves evaluated per device dispatch
+    # Leaves evaluated per device dispatch. 64 measured best on v5e over the
+    # axon tunnel (per-dispatch latency dominates below that; search results
+    # unchanged - virtual loss decorrelates the batch either way).
+    leaf_batch: int = 64
     # Hard cap on expansions. Deviation from the reference's sum_i 25^i
     # stopping criterion (UCTSearch.cpp:290-294), which for k>=3 objects is
     # never the binding constraint anyway (60 s wall clock cuts first).
