@@ -4,9 +4,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload (the reference's hottest path, SURVEY.md section 3): H candidate
 poses of a dense model cloud scored against an observed segment, through the
-production scoring pipeline (ops/scoring.py): coarse weighted-LCP over all H
-(1/4-subsampled validation cloud), batched trimmed point-to-plane ICP on the
-top 1024 survivors, full-resolution weighted-LCP rescoring. The reference
+production scoring pipeline (ops/scoring.py): coarse LCP ranking over all H
+(subsampled validation cloud, bf16 on TPU), batched point-to-plane ICP on
+the top-512 survivors, two-tier full-resolution weighted-LCP rescoring. The reference
 does the equivalent serially: per-transform kd-tree NN loops
 (match4pcsBase.cc:1699-1766) inside a 2 s/object budget.
 

@@ -148,3 +148,77 @@ def evaluate_scenes(
             }
         )
     return agg
+
+
+def main(argv=None):
+    """Dataset-sweep CLI: ADD/ADD-S aggregates over many scene dirs.
+
+    python -m physimglobalpose_tpu.pipeline.evaluate \
+        --scenes /data/scenes/scene_* --log /tmp/eval.jsonl \
+        --obj-config obj_config.yml --model-dir meshes/ [--sharded]
+    """
+    import argparse
+    import glob as glob_mod
+
+    p = argparse.ArgumentParser(description="dataset sweep with ADD/ADD-S")
+    p.add_argument("--scenes", nargs="+", required=True,
+                   help="scene dirs (globs ok)")
+    p.add_argument("--log", required=True, help="JSONL log (resume-safe)")
+    p.add_argument("--obj-config", required=True)
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--dataset", default="APC", choices=["APC", "YCB"])
+    p.add_argument("--segmentation", default="GT")
+    p.add_argument("--verification", default="LCP",
+                   choices=["LCP", "MCTS", "GREEDY"])
+    p.add_argument("--cache-dir", default="/tmp/physim_tpu_cache")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sharded", action="store_true",
+                   help="shard (scene, object) jobs over the device mesh "
+                        "(LCP mode only)")
+    p.add_argument("--preset", default="default", choices=["default", "small"],
+                   help="'small' shrinks the static-shape caps (fast compile)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args = p.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from physimglobalpose_tpu.models import objectdb
+
+    if args.preset == "small":
+        from physimglobalpose_tpu.config import PreprocessConfig, StoCSConfig
+
+        cfg = PipelineConfig(
+            preprocess=PreprocessConfig(max_segment_points=512),
+            stocs=StoCSConfig(num_bases=48, max_quads_per_base=32,
+                              max_pairs_per_ppf=128),
+            max_model_points=512,
+            max_validation_points=1024,
+        )
+    else:
+        cfg = DEFAULT_CONFIG
+    dirs = sorted(set(sum((glob_mod.glob(s) or [s] for s in args.scenes), [])))
+    sc0 = scene_mod.load_scene(dirs[0], dataset=args.dataset)
+    db = objectdb.load_object_db(
+        args.obj_config, args.model_dir, config=cfg, cache_dir=args.cache_dir,
+        only=sc0.object_names if len(dirs) == 1 else None,
+    )
+    mesh = None
+    if args.sharded:
+        from physimglobalpose_tpu.parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh()
+    agg = evaluate_scenes(
+        dirs, db, args.log, dataset=args.dataset,
+        segmentation_mode=args.segmentation,
+        verification_mode=args.verification,
+        cfg=cfg, seed=args.seed, mesh=mesh,
+    )
+    print(json.dumps(agg))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
