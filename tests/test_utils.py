@@ -105,3 +105,33 @@ def test_nms_boxes():
     assert list(keep)[0] == 3  # highest score first
     assert 2 in keep  # far box survives
     assert 0 not in keep and 1 not in keep  # suppressed by the duplicate
+
+
+def test_fcn_detector_boxes_from_prob_maps():
+    # make_fcn_detector with an injected predictor: thresholded blobs ->
+    # boxes; overlapping duplicate suppressed by NMS, tiny blobs dropped.
+    import numpy as np
+
+    from physimglobalpose_tpu.pipeline import detector as det_mod
+
+    h, w = 60, 80
+    maps = {
+        2: np.zeros((h, w), np.float32),
+        3: np.zeros((h, w), np.float32),
+        5: np.zeros((h, w), np.float32),
+    }
+    maps[2][10:30, 10:40] = 0.9       # solid blob
+    maps[3][11:29, 11:39] = 0.6       # near-duplicate region, lower score
+    maps[5][50:52, 70:72] = 0.99      # too small (< min_pixels)
+
+    det = det_mod.make_fcn_detector(
+        predictor=lambda color, ids: {c: maps[c] for c in ids},
+        prob_threshold=0.5, min_pixels=50,
+    )
+    out = det(np.zeros((h, w, 3), np.uint8), [2, 3, 5])
+    assert 2 in out
+    tlx, tly, brx, bry = out[2]
+    assert (tlx, tly, brx, bry) == (10, 10, 39, 29)
+    assert 5 not in out  # below min_pixels
+    # class 3 overlaps class 2 at IoU ~0.84 (> 0.8) -> NMS keeps the stronger
+    assert 3 not in out
