@@ -98,22 +98,25 @@ def main():
     )
 
     def score_step(tfs):
-        # Tuned r2 on v5e (scripts/tpu_perf_experiments.py): bf16 UNWEIGHTED
-        # coarse ranking (within-delta count, no normal matmul; good-hyp
-        # survival = 100% on the clutter workload), ICP correspondence reuse
-        # every 2 iters, top-512 survivors, two-tier fine rescoring (bf16
+        # Tuned r3 on v5e (scripts/r3_perf_experiments.py + r3_lcp_micro.py):
+        # bf16 UNWEIGHTED coarse ranking on a 2x-strided segment and NV=256
+        # validation subsample (exact-top-64 survival 64/64 on the clutter
+        # workload), segment-stationary Pallas ICP (ops/icp.py
+        # _icp_corr_kernel_segside) at bf16 with per-iteration
+        # correspondences, top-512 survivors, two-tier fine rescoring (bf16
         # bulk + exact fp32 top-64; the product consumes top-25 and the
-        # top-1 lands within 2 mm of the exhaustive exact winner on both
-        # workloads).
+        # top-1 lands within 0.2 mm of the exact-ICP pipeline winner).
         out = scoring.score_refine_pipeline(
             tfs, model_m, nrm_m, model_v, nrm_v,
             seg, seg_nrm, seg_prob, seg_mask,
-            top_k=512, coarse_subsample=8, icp_iters=ICP_ITERS, icp_subsample=2,
+            top_k=512, coarse_subsample=16, coarse_seg_stride=2,
+            icp_iters=ICP_ITERS, icp_subsample=2,
             use_pallas=on_tpu,
             coarse_precision="default" if on_tpu else None,
             icp_nn_refresh=2, coarse_weighted=False,
             fine_precision="default" if on_tpu else None,
             fine_exact_k=64,
+            icp_precision="default" if on_tpu else None,
         )
         return out.top_transforms, out.top_scores
 
@@ -122,16 +125,29 @@ def main():
     refined, scores = score_step(tfs)
     float(scores[0])
 
+    # Steady-state throughput: each timed repetition enqueues PIPE batches
+    # back-to-back (distinct on-device inputs) and fetches ONE scalar that
+    # depends on all of them. The per-dispatch tunnel round trip (~31 ms
+    # measured on the axon backend, scripts/r3_lcp_micro.py overhead_probe)
+    # then amortizes across the batches exactly as it does in production
+    # streaming, instead of being paid per batch as a serial
+    # dispatch-fetch-dispatch loop would.
+    pipe = 4 if on_tpu else 1
     iters = 5 if on_tpu else 1
     times = []
     for i in range(iters):
-        tfs_i = tfs.at[:, 0, 3].add(1e-6 * (i + 1))  # distinct inputs
-        float(tfs_i[0, 0, 0])  # settle the input before timing
+        batches = [
+            tfs.at[:, 0, 3].add(1e-6 * (i * pipe + p + 1)) for p in range(pipe)
+        ]
+        float(batches[-1][0, 0, 0])  # settle inputs before timing
         t0 = time.perf_counter()
-        refined, scores = score_step(tfs_i)
-        float(scores[0])  # force full materialization
+        acc = 0.0
+        for b in batches:
+            refined, scores = score_step(b)
+            acc = acc + scores[0]
+        float(acc)  # one fetch forcing every batch to materialize
         times.append(time.perf_counter() - t0)
-    dt = min(times)  # best steady-state iteration
+    dt = min(times) / pipe  # best steady-state per-batch time
 
     hyps_per_sec = H / dt
     variant = "clutter" if clutter else "easy"
@@ -140,7 +156,7 @@ def main():
             {
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
-                "unit": f"hyp/s (coarse-LCP@512 -> ICP-{ICP_ITERS}it@512 top-512 -> fine-LCP@4k, H=16384, {variant})",
+                "unit": f"hyp/s (coarse-LCP@256/seg2 -> ICP-{ICP_ITERS}it@512 top-512 -> fine-LCP@4k, H=16384 x{pipe} pipelined, {variant})",
                 "vs_baseline": round(hyps_per_sec / baseline_hyps_per_sec(clutter), 2),
             }
         )

@@ -134,14 +134,28 @@ class MCTSConfig:
 
     Mirrors UCTSearch/UCTState: exploration alpha=5000 with a *minimizing*
     UCB (UCTState.cpp:10,275-296), budget 60 s or sum_i 25^i expansions
-    (UCTSearch.cpp:10,286-307), trimmed-ICP point-removal radius 8 mm
-    (UCTState.cpp:9), branching cap 25 hypotheses per object.
+    (UCTSearch.cpp:10,286-307), branching cap 25 hypotheses per object.
+    The reference's trimmed-ICP point-removal step (UCTState::performTrICP,
+    8 mm radius) is commented out of its own search loop
+    (UCTSearch.cpp:98,157,225) and is intentionally not ported.
     """
 
     alpha: float = 5000.0
     max_search_seconds: float = 60.0
     branching: int = 25
-    point_removal_threshold: float = 0.008
+    # Leaf-render downscale factor: the leaf evaluator renders at
+    # (height/render_scale, width/render_scale). The reference renders full
+    # 640x480 meshes per node (UCTState.cpp:23,93-116); scale 4 (160x120) is
+    # the measured default - see tests/test_mcts_render_fidelity.py for the
+    # scale-1-vs-4 ranking A/B that justifies it.
+    render_scale: int = 4
+    # Settle rollout placements sequentially (object i dynamic on top of
+    # 0..i-1 at their *settled* poses, lax.scan over placement order),
+    # matching the reference's per-step correctPhysics
+    # (UCTSearch.cpp:140-194, UCTState.cpp:208-270). False = single settle
+    # of the complete assignment with only the last object dynamic (faster,
+    # k x less physics; equivalent only for non-stacked scenes).
+    sequential_settle: bool = True
     # Leaves evaluated per device dispatch. 64 measured best on v5e over the
     # axon tunnel (per-dispatch latency dominates below that; search results
     # unchanged - virtual loss decorrelates the batch either way).

@@ -175,13 +175,16 @@ def _icp_single(
 
     n_outer = -(-iters // nn_refresh)
 
-    def outer(_, tf):
+    def outer(outer_i, tf):
         p_model, n_model, w = correspond(tf)
 
         def inner(__, tf2):
             return solve(tf2, p_model, n_model, w)
 
-        return jax.lax.fori_loop(0, nn_refresh, inner, tf)
+        # Clamp the last window so total solves equal exactly `iters`
+        # (otherwise iters=5, nn_refresh=2 would run 6 solves).
+        n_inner = jnp.minimum(nn_refresh, iters - outer_i * nn_refresh)
+        return jax.lax.fori_loop(0, n_inner, inner, tf)
 
     return jax.lax.fori_loop(0, n_outer, outer, transform)
 
@@ -265,6 +268,270 @@ def icp_fitness(
 
 
 # ---------------------------------------------------------------- Pallas path
+
+
+def _icp_corr_kernel_segside(
+    tr_ref,  # VMEM [TH, 128]: cols 0:12 = row-major (R | t), centered frame
+    segcat_ref,  # VMEM [Spad, 128]: cols 0:3 = s, 3 = |s|^2 (1e9 invalid), 4 = 1
+    segT_ref,  # VMEM [128, Spad]: rows 0:3 = s, row 4 = 1 (transposed pack)
+    modelT_ref,  # VMEM [128, Nm]: rows 0:3 = m, 3 = pad marker, 4:7 = normal
+    out_ref,  # VMEM [TH*8, 128]: per-hyp [8, 128] block = rows of G (see below)
+    *,
+    max_corr_dist: float,
+    precision=None,
+):
+    """Segment-stationary ICP correspondence + normal-equation accumulation.
+
+    The lane-major restructure that won the LCP kernel its 2x
+    (_lcp_kernel_segside design note) applied to ICP: per hypothesis the
+    model tile is transformed with [1, Nm] ROW ops (lane-dense on the VPU),
+    the NN reduction for each segment point runs across lanes, and the
+    point-to-plane normal equations are accumulated with two further matmuls
+    so no [Ns, 1] column ops and no transposes appear anywhere:
+
+      d2[j, i]   = |s_j|^2 + |u_i|^2 - 2 s_j.u_i       (u = R m + t)
+                 = a_seg[j, 0:5] . b1[0:5, i]            -- MXU
+      wonehot    = 1[d2 == min_i d2] * welsch(min) / ties   [Spad, Nm]
+      accT       = segT @ wonehot -> rows (Sx, Sy, Sz, W)  [128, Nm]
+                   (S_i = sum_j w_j 1[nn_j = i] s_j; W_i = sum of weights)
+      A[a,b]     = sum_i W_i col_a,i col_b,i,   col = (u x un, un)
+      b[a]       = -sum_i col_a,i g_i,  g_i = W_i (u.un) - un.S_i
+                   (from resid_j = (u - s_j).un for every j matched to i)
+      G = M8 @ N128^T: G[a, 0:6] = A[a, :], G[a, 6] = -b[a]   -- MXU
+
+    Only the [8, 128] G block per hypothesis leaves the chip; the XLA side
+    solves the 6x6 systems and updates the poses. Replaces both the
+    bandwidth-bound XLA [H, Ns, Nm] formulation and the old model-streaming
+    kernel with [Ns, 1] column carries.
+    """
+    th = tr_ref.shape[0]
+    nm = modelT_ref.shape[1]
+    spad = segcat_ref.shape[0]
+    lowp = precision == jax.lax.Precision.DEFAULT
+    mm_dtype = jnp.bfloat16 if lowp else jnp.float32
+
+    # bf16 casts hoisted out of the per-hypothesis loop (same overhead fix
+    # as _lcp_kernel_segside: native bf16 MXU inputs, no per-matmul
+    # conversion of the big stationary operands).
+    a_seg = segcat_ref[:, :].astype(mm_dtype)  # [Spad, 128]
+    seg_t = segT_ref[:, :].astype(mm_dtype)  # [128, Spad]
+    mx = modelT_ref[0:1, :]  # [1, Nm]
+    my = modelT_ref[1:2, :]
+    mz = modelT_ref[2:3, :]
+    pad = modelT_ref[3:4, :]  # 1e9 on padded model columns, else 0
+    nx = modelT_ref[4:5, :]
+    ny = modelT_ref[5:6, :]
+    nz = modelT_ref[6:7, :]
+    ones_row = jnp.ones((1, nm), jnp.float32)
+    sigma2 = (max_corr_dist * 0.5) ** 2
+
+    def one_hypothesis(hi, _):
+        r = [tr_ref[hi, k] for k in range(12)]
+        r00, r01, r02, t0 = r[0], r[1], r[2], r[3]
+        r10, r11, r12, t1 = r[4], r[5], r[6], r[7]
+        r20, r21, r22, t2 = r[8], r[9], r[10], r[11]
+
+        ux = r00 * mx + r01 * my + r02 * mz + t0  # [1, Nm]
+        uy = r10 * mx + r11 * my + r12 * mz + t1
+        uz = r20 * mx + r21 * my + r22 * mz + t2
+        usq = ux * ux + uy * uy + uz * uz + pad
+        unx = r00 * nx + r01 * ny + r02 * nz
+        uny = r10 * nx + r11 * ny + r12 * nz
+        unz = r20 * nx + r21 * ny + r22 * nz
+
+        b1 = jnp.concatenate(
+            [(-2.0 * ux).astype(mm_dtype), (-2.0 * uy).astype(mm_dtype),
+             (-2.0 * uz).astype(mm_dtype), ones_row.astype(mm_dtype),
+             usq.astype(mm_dtype), jnp.zeros((123, nm), mm_dtype)], axis=0,
+        )  # [128, Nm]
+        d2 = jax.lax.dot_general(
+            a_seg, b1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [Spad, Nm]
+
+        mind2 = jnp.min(d2, axis=1, keepdims=True)  # [Spad, 1]
+        # Welsch robust weights; invalid/padded segment rows carry |s|^2=1e9
+        # so their mind2 is huge and the in-range gate zeroes them.
+        in_range = mind2 <= max_corr_dist * max_corr_dist
+        w = jnp.where(in_range, jnp.exp(-mind2 / (2.0 * sigma2)), 0.0)
+        is_best = (d2 <= mind2).astype(jnp.float32)
+        ties = jnp.sum(is_best, axis=1, keepdims=True)
+        wonehot = is_best * (w / jnp.maximum(ties, 1.0))  # [Spad, Nm]
+
+        # accT rows: 0:3 = S (weighted matched segment-point sums), 4 = W.
+        accT = jax.lax.dot_general(
+            seg_t, wonehot.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [128, Nm]
+        sx_r = accT[0:1, :]
+        sy_r = accT[1:2, :]
+        sz_r = accT[2:3, :]
+        w_r = accT[4:5, :]
+
+        # Jacobian columns (model side, transformed frame): c = u x un, un.
+        c1 = uy * unz - uz * uny
+        c2 = uz * unx - ux * unz
+        c3 = ux * uny - uy * unx
+        pn = ux * unx + uy * uny + uz * unz  # u . un per model point
+        g = w_r * pn - (unx * sx_r + uny * sy_r + unz * sz_r)  # [1, Nm]
+
+        m8 = jnp.concatenate(
+            [c1, c2, c3, unx, uny, unz, jnp.zeros((2, nm), jnp.float32)], axis=0
+        )  # [8, Nm]
+        n128 = jnp.concatenate(
+            [w_r * c1, w_r * c2, w_r * c3, w_r * unx, w_r * uny, w_r * unz,
+             g, jnp.zeros((121, nm), jnp.float32)], axis=0,
+        )  # [128, Nm]
+        gmat = jax.lax.dot_general(
+            m8.astype(mm_dtype), n128.astype(mm_dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [8, 128]
+        out_ref[pl.ds(hi * 8, 8), :] = gmat
+        return 0
+
+    jax.lax.fori_loop(0, th, one_hypothesis, 0)
+
+
+def _icp_segside_pass(transforms, segcat, segT, modelT, max_corr_dist, precision):
+    """One correspondence pass -> (A [H,6,6], b [H,6]).
+
+    transforms are already in the centered frame (see refine_icp_pallas_segside).
+    """
+    h = transforms.shape[0]
+    h_tile = 8
+    pad_h = (-h) % h_tile
+    tr16 = jnp.concatenate(
+        [transforms, jnp.broadcast_to(jnp.eye(4), (pad_h, 4, 4))], axis=0
+    ).reshape(-1, 16)
+    tr = jnp.zeros((tr16.shape[0], 128), jnp.float32).at[:, 0:12].set(tr16[:, 0:12])
+    nm = modelT.shape[1]
+    spad = segcat.shape[0]
+    out = pl.pallas_call(
+        functools.partial(
+            _icp_corr_kernel_segside,
+            max_corr_dist=max_corr_dist,
+            precision=precision,
+        ),
+        out_shape=jax.ShapeDtypeStruct(((h + pad_h) * 8, 128), jnp.float32),
+        grid=((h + pad_h) // h_tile,),
+        in_specs=[
+            # Transforms in SMEM: the kernel reads them as scalars.
+            pl.BlockSpec((h_tile, 128), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((spad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, spad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, nm), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (h_tile * 8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )(tr, segcat, segT, modelT)
+    g = out.reshape(-1, 8, 128)[:h]
+    a = g[:, 0:6, 0:6]
+    b = -g[:, 0:6, 6]
+    return a, b
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "max_corr_dist", "matmul_precision")
+)
+def refine_icp_pallas_segside(
+    transforms: jnp.ndarray,  # [H, 4, 4]
+    model_pts: jnp.ndarray,  # [Nm, 3]
+    model_nrm: jnp.ndarray,
+    seg_pts: jnp.ndarray,  # [Ns, 3]
+    seg_mask: jnp.ndarray,
+    iters: int = 6,
+    max_corr_dist: float = 0.02,
+    matmul_precision: str | None = None,
+) -> jnp.ndarray:
+    """Segment-stationary Pallas point-to-plane ICP (see _icp_corr_kernel_segside).
+
+    Equivalent math to refine_icp(point_to_plane=True, exact_trim=False,
+    nn_refresh=1): every iteration recomputes correspondences (they are cheap
+    here - the whole [Spad, Nm] correspondence block lives in VMEM and only
+    42 floats per hypothesis cross HBM per iteration).
+
+    Coordinates are centered at the segment centroid (segment AND model/
+    transform sides) before packing, for the same bf16-safety reason as
+    lcp_scores_pallas_segside; results are returned in the original frame.
+
+    Requires the whole model in one VMEM block: (Spad * Nm) f32 x2 live
+    blocks <= ~8 MB, i.e. Spad * Nm <= 1M. Callers fall back to refine_icp
+    beyond that (ops/scoring.py handles the dispatch).
+    """
+    ns = seg_pts.shape[0]
+    nm = model_pts.shape[0]
+    pad_ns = (-ns) % 128  # lane-aligned for the transposed pack
+    pad_nm = (-nm) % 128
+
+    c = jnp.sum(jnp.where(seg_mask[:, None], seg_pts, 0.0), axis=0) / jnp.maximum(
+        jnp.sum(seg_mask), 1
+    )
+    seg_c = seg_pts - c
+    transforms_c = transforms.at[:, :3, 3].add(-c)
+
+    segcat = jnp.zeros((ns + pad_ns, 128), jnp.float32)
+    seg_sq = jnp.sum(seg_c * seg_c, axis=-1)
+    segcat = (
+        segcat.at[:ns, 0:3].set(seg_c)
+        .at[:ns, 3].set(jnp.where(seg_mask, seg_sq, 1e9))
+        .at[ns:, 3].set(1e9)
+        .at[:, 4].set(1.0)
+    )
+    # Transposed segment pack for the accumulator matmul (standard (1,0)
+    # contraction; a lhs-transposed (0,0) contraction on segcat is not a
+    # proven Mosaic lowering in this codebase). Invalid segment rows are
+    # zeroed: their wonehot column weight is already 0 via |s|^2 = 1e9, and
+    # zero coords keep the ones-row sum (W) exact.
+    segT = jnp.zeros((128, ns + pad_ns), jnp.float32)
+    segT = (
+        segT.at[0:3, :ns].set(jnp.where(seg_mask, seg_c.T, 0.0))
+        .at[4, :].set(1.0)
+    )
+    modelT = jnp.zeros((128, nm + pad_nm), jnp.float32)
+    modelT = (
+        modelT.at[0:3, :nm].set(model_pts.T)
+        .at[3, nm:].set(1e9)
+        .at[4:7, :nm].set(model_nrm.T)
+    )
+    precision = _ICP_PRECISIONS[matmul_precision]
+
+    def step(tfs, _):
+        a, b = _icp_segside_pass(tfs, segcat, segT, modelT, max_corr_dist, precision)
+        a = a + 1e-8 * jnp.eye(6)
+        x = jnp.linalg.solve(a, b[..., None])[..., 0]  # [H, 6]
+        omega, t = x[:, :3], x[:, 3:]
+        theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+        k = omega / jnp.maximum(theta, 1e-12)
+        zeros = jnp.zeros_like(k[:, 0])
+        kx = jnp.stack(
+            [zeros, -k[:, 2], k[:, 1],
+             k[:, 2], zeros, -k[:, 0],
+             -k[:, 1], k[:, 0], zeros], axis=-1,
+        ).reshape(-1, 3, 3)
+        st = jnp.sin(theta)[..., None]
+        ct = (1.0 - jnp.cos(theta))[..., None]
+        drot = jnp.eye(3)[None] + st * kx + ct * (kx @ kx)
+        new_rot = drot @ tfs[:, :3, :3]
+        new_t = jnp.einsum("hij,hj->hi", drot, tfs[:, :3, 3]) + t
+        out = jnp.broadcast_to(jnp.eye(4), tfs.shape).at[:, :3, :3].set(new_rot)
+        out = out.at[:, :3, 3].set(new_t)
+        # NaN-safe: degenerate correspondence sets fall back to the input pose.
+        finite = jnp.all(jnp.isfinite(out), axis=(1, 2), keepdims=True)
+        return jnp.where(finite, out, tfs), None
+
+    refined, _ = jax.lax.scan(step, transforms_c, None, length=iters)
+    return refined.at[:, :3, 3].add(c)
+
+
+# Mosaic's dot lowering supports only DEFAULT and HIGHEST ("high" raises
+# NotImplementedError on v5e - measured round 3); None inherits the jax
+# default (float32, _jaxcfg.py).
+_ICP_PRECISIONS = {
+    None: None,
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 
 
 def _icp_corr_kernel(

@@ -228,17 +228,19 @@ def _score_one(a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv, s
     return jnp.sum(contrib) / nv
 
 
+# Mosaic's dot lowering supports only DEFAULT and HIGHEST ("high" raises
+# NotImplementedError on v5e - measured round 3); None inherits the jax
+# default (float32, _jaxcfg.py).
 _PRECISIONS = {
     None: None,
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("delta", "normal_gate_deg", "weighted", "ns_tile", "wide",
+    static_argnames=("delta", "normal_gate_deg", "weighted", "ns_tile",
                      "matmul_precision"),
 )
 def lcp_scores_pallas(
@@ -253,7 +255,6 @@ def lcp_scores_pallas(
     normal_gate_deg: float = 30.0,
     weighted: bool = True,
     ns_tile: int = 1024,
-    wide: bool = False,  # EXPERIMENTAL: crashes the Mosaic compiler on v5e
     matmul_precision: str | None = None,
 ) -> jnp.ndarray:
     """Pallas TPU kernel: grid over hypothesis tiles, segment tiles stream
@@ -261,9 +262,8 @@ def lcp_scores_pallas(
     lcp_scores_xla (tested for equivalence).
 
     matmul_precision: None/"highest" = exact f32 distances (6 bf16 MXU
-    passes); "high" = 3 passes (~2x faster, d^2 error ~1e-6 << delta^2 on
-    this kernel's difference-of-small-magnitudes formulation); "default" =
-    1 bf16 pass (~6x faster, d^2 error ~5e-5 - coarse-ranking only)."""
+    passes); "default" = 1 bf16 pass (~6x faster, d^2 error ~5e-5 -
+    coarse-ranking only). Mosaic has no 3-pass "high" lowering."""
     h = transforms.shape[0]
     nv = model_pts.shape[0]
     ns = seg_pts.shape[0]
@@ -275,7 +275,9 @@ def lcp_scores_pallas(
     # stay well under the 16 MB scoped-vmem limit (f32, x2 blocks, plus a/b
     # operands) - larger ns_tile means fewer b-builds and wider MXU launches
     # (measured 1.7x on the coarse stage), so cap nv_tile to compensate.
-    nv_tile = min(nv, max(512, (1 << 20) // ns_tile))
+    # Rounded down to a multiple of 128: Mosaic block shapes must have their
+    # last two dims divisible by (8, 128) unless equal to the array dims.
+    nv_tile = min(nv, max(512, ((1 << 20) // ns_tile) // 128 * 128))
     pad_nv = (-nv) % nv_tile
 
     tr16 = jnp.concatenate(
@@ -305,16 +307,9 @@ def lcp_scores_pallas(
         .set(seg_mask.astype(jnp.float32))
     )
 
-    if wide:
-        kernel = _lcp_kernel_wide
-        ns_tile = min(ns_tile, 128)  # lane-aligned slices; N = TH*128 = 1024
-        nv_tile = min(nv_tile, 1024)  # d2+ndot at [nv_tile, TH*ns] must fit VMEM
-        pad_nv = (-nv) % nv_tile
-    else:
-        kernel = _lcp_kernel
     out = pl.pallas_call(
         functools.partial(
-            kernel,
+            _lcp_kernel,
             ns_tile=min(ns_tile, ns + pad_ns),
             delta=delta,
             cos_gate=math.cos(math.radians(normal_gate_deg)),
@@ -385,139 +380,6 @@ def lcp_scores(
     )
 
 
-def _lcp_kernel_wide(
-    tr_ref,  # VMEM [TH, 128]
-    model_ref,  # VMEM [nv_tile, 128]
-    segcat_ref,  # VMEM [Ns, 128]
-    out_ref,  # VMEM [TH, 128]
-    *,
-    ns_tile: int,
-    delta: float,
-    cos_gate: float,
-    weighted: bool,
-    total_nv: int,
-    precision=None,
-):
-    """Wide-N variant: all TH hypotheses share one matmul per segment tile.
-
-    b-matrices of the TH hypotheses concatenate along rows, so the distance
-    and normal-dot for the whole hypothesis tile come from two
-    [nv_tile, 128] @ [128, TH*ns_tile] matmuls - 8x fewer, 8x wider MXU
-    launches than the per-hypothesis loop.
-    """
-    th = tr_ref.shape[0]
-    nv_tile = model_ref.shape[0]
-    ns = segcat_ref.shape[0]
-    big = jnp.float32(1e9)
-    j = pl.program_id(1)
-
-    a_pos = model_ref[:, :]
-
-    def seg_tile(si, carry):
-        run_min, run_prob, run_dot = carry  # [nv_tile, TH] each
-        rows = pl.ds(si * ns_tile, ns_tile)
-        sx = segcat_ref[rows, 0:1]
-        sy = segcat_ref[rows, 1:2]
-        sz = segcat_ref[rows, 2:3]
-        nx = segcat_ref[rows, 3:4]
-        ny = segcat_ref[rows, 4:5]
-        nz = segcat_ref[rows, 5:6]
-        sprob = segcat_ref[rows, 6:7]
-        smask = segcat_ref[rows, 7:8]
-        ones = jnp.ones((ns_tile, 1), jnp.float32)
-        z3 = jnp.zeros((ns_tile, 3), jnp.float32)
-        ztail = jnp.zeros((ns_tile, 128 - 11), jnp.float32)
-        z8 = jnp.zeros((ns_tile, 8), jnp.float32)
-
-        b1_blocks = []
-        b2_blocks = []
-        for hi in range(th):
-            # scalar reads INSIDE the loop: hoisting 96 of them outside blew
-            # Mosaic's scalar allocation (compiler subprocess crash).
-            r = [tr_ref[hi, k] for k in range(12)]
-            r00, r01, r02, t0 = r[0], r[1], r[2], r[3]
-            r10, r11, r12, t1 = r[4], r[5], r[6], r[7]
-            r20, r21, r22, t2 = r[8], r[9], r[10], r[11]
-            dx = sx - t0
-            dy = sy - t1
-            dz = sz - t2
-            qx = r00 * dx + r10 * dy + r20 * dz
-            qy = r01 * dx + r11 * dy + r21 * dz
-            qz = r02 * dx + r12 * dy + r22 * dz
-            c = dx * dx + dy * dy + dz * dz
-            c = jnp.where(smask > 0.5, c, big)
-            bnx = r00 * nx + r10 * ny + r20 * nz
-            bny = r01 * nx + r11 * ny + r21 * nz
-            bnz = r02 * nx + r12 * ny + r22 * nz
-            b1_blocks.append(
-                jnp.concatenate([-2.0 * qx, -2.0 * qy, -2.0 * qz, ones, c, z3,
-                                 jnp.zeros((ns_tile, 3), jnp.float32), ztail], axis=1)
-            )
-            b2_blocks.append(
-                jnp.concatenate([z8, bnx, bny, bnz, ztail], axis=1)
-            )
-        b1 = jnp.concatenate(b1_blocks, axis=0)  # [TH*ns_tile, 128]
-        b2 = jnp.concatenate(b2_blocks, axis=0)
-
-        d2 = jax.lax.dot_general(
-            a_pos, b1, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [nv_tile, TH*ns_tile]
-        ndot = jax.lax.dot_general(
-            a_pos, b2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-
-        mins, probs, dots = [], [], []
-        for hi in range(th):
-            cols = slice(hi * ns_tile, (hi + 1) * ns_tile)
-            d2h = d2[:, cols]
-            tile_min = jnp.min(d2h, axis=-1, keepdims=True)
-            is_best = d2h <= tile_min
-            prob_row = jnp.broadcast_to(sprob[:, 0][None, :], d2h.shape)
-            mins.append(tile_min)
-            probs.append(
-                jnp.max(jnp.where(is_best, prob_row, -1.0), axis=-1, keepdims=True)
-            )
-            dots.append(
-                jnp.max(jnp.where(is_best, jnp.abs(ndot[:, cols]), -1.0),
-                        axis=-1, keepdims=True)
-            )
-        # Lane-pad the carries to 128 (sub-128 lane shapes crash Mosaic).
-        padf = jnp.full((nv_tile, 128 - th), big, jnp.float32)
-        padz = jnp.zeros((nv_tile, 128 - th), jnp.float32)
-        tile_min = jnp.concatenate(mins + [padf], axis=1)  # [nv_tile, 128]
-        tile_prob = jnp.concatenate(probs + [padz], axis=1)
-        tile_dot = jnp.concatenate(dots + [padz], axis=1)
-        better = tile_min < run_min
-        return (
-            jnp.where(better, tile_min, run_min),
-            jnp.where(better, tile_prob, run_prob),
-            jnp.where(better, tile_dot, run_dot),
-        )
-
-    init = (
-        jnp.full((nv_tile, 128), big, jnp.float32),
-        jnp.zeros((nv_tile, 128), jnp.float32),
-        jnp.zeros((nv_tile, 128), jnp.float32),
-    )
-    run_min, run_prob, run_dot = jax.lax.fori_loop(0, ns // ns_tile, seg_tile, init)
-    within_f = (run_min <= delta * delta).astype(jnp.float32)
-    if weighted:
-        # multiplicative gates instead of a fused 3-operand boolean where
-        # (the fused form crashes the Mosaic compiler on v5e)
-        gate_f = (run_dot >= cos_gate).astype(jnp.float32)
-        contrib = within_f * gate_f * run_prob
-    else:
-        contrib = within_f
-    partial = jnp.sum(contrib, axis=0, keepdims=True) / total_nv  # [1, 128]
-    rows = jnp.concatenate(
-        [jnp.full((1, 128), partial[0, hi], jnp.float32) for hi in range(th)], axis=0
-    )
-    prev = out_ref[:, :]
-    out_ref[:, :] = jnp.where(j == 0, rows, prev + rows)
-
-
 def _lcp_kernel_segside(
     tr_ref,  # VMEM [TH, 128]: cols 0:12 = row-major (R | t) per hypothesis
     modelT_ref,  # VMEM [128, nv_tile]: rows 0:3 coords, 3 pad marker, 4:7 normals
@@ -542,12 +404,23 @@ def _lcp_kernel_segside(
                = a_seg[j, 0:5] . b1[0:5, i],
       b1 rows: (-2u_x, -2u_y, -2u_z, ones, |u|^2 + pad);
       ndot[j, i] = sn_j . (R n_i) = a_seg[j, 5:8] . b2[5:8, i].
+
+    Per-hypothesis overhead killers (measured ~1.9 us/hyp fixed cost at
+    coarse shapes before these, round 3):
+    - the 12 transform scalars live in SMEM (tr_ref block), not VMEM
+      vector-loads;
+    - at "default" (bf16) precision the segment operand is cast to bf16
+      ONCE per grid program and the b-builds are cast row-wise, so the MXU
+      gets native bf16 inputs instead of converting the f32 a-matrix under
+      every per-hypothesis matmul.
     """
     th = tr_ref.shape[0]
     nv_tile = modelT_ref.shape[1]
     j = pl.program_id(1)
+    lowp = precision == jax.lax.Precision.DEFAULT
+    mm_dtype = jnp.bfloat16 if lowp else jnp.float32
 
-    a_seg = segcat_ref[:, :]  # [Ns, 128]
+    a_seg = segcat_ref[:, :].astype(mm_dtype)  # [Ns, 128], cast hoisted
     prob_col = segcat_ref[:, 8:9]  # [Ns, 1]
 
     mx = modelT_ref[0:1, :]  # [1, nv]
@@ -557,9 +430,10 @@ def _lcp_kernel_segside(
     nx = modelT_ref[4:5, :]
     ny = modelT_ref[5:6, :]
     nz = modelT_ref[6:7, :]
-    ones_row = jnp.ones((1, nv_tile), jnp.float32)
-    zrow120 = jnp.zeros((120, nv_tile), jnp.float32)
-    zrow5 = jnp.zeros((5, nv_tile), jnp.float32)
+    ones_row = jnp.ones((1, nv_tile), mm_dtype)
+    zrow123 = jnp.zeros((123, nv_tile), mm_dtype)
+    zrow120 = jnp.zeros((120, nv_tile), mm_dtype)
+    zrow5 = jnp.zeros((5, nv_tile), mm_dtype)
 
     def one_hypothesis(hi, _):
         r = [tr_ref[hi, k] for k in range(12)]
@@ -576,8 +450,9 @@ def _lcp_kernel_segside(
         unz = r20 * nx + r21 * ny + r22 * nz
 
         b1 = jnp.concatenate(
-            [-2.0 * ux, -2.0 * uy, -2.0 * uz, ones_row, usq,
-             jnp.zeros((123, nv_tile), jnp.float32)], axis=0,
+            [(-2.0 * ux).astype(mm_dtype), (-2.0 * uy).astype(mm_dtype),
+             (-2.0 * uz).astype(mm_dtype), ones_row, usq.astype(mm_dtype),
+             zrow123], axis=0,
         )  # [128, nv]
         d2 = jax.lax.dot_general(
             a_seg, b1, (((1,), (0,)), ((), ())),
@@ -587,7 +462,9 @@ def _lcp_kernel_segside(
         m = jnp.min(d2, axis=0, keepdims=True)  # [1, nv]
         within_f = (m <= delta * delta).astype(jnp.float32)
         if weighted:
-            b2 = jnp.concatenate([zrow5, unx, uny, unz, zrow120], axis=0)
+            b2 = jnp.concatenate(
+                [zrow5, unx.astype(mm_dtype), uny.astype(mm_dtype),
+                 unz.astype(mm_dtype), zrow120], axis=0)
             ndot = jax.lax.dot_general(
                 a_seg, b2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
@@ -649,8 +526,10 @@ def lcp_scores_pallas_segside(
     pad_ns = (-ns) % 128
     h_tile = 8
     pad_h = (-h) % h_tile
-    # d2 + ndot live blocks: [ns, nv_tile] f32 x2 <= ~8 MB.
-    nv_tile = min(nv, max(512, (1 << 20) // (ns + pad_ns)))
+    # VMEM budget: d2 + ndot live blocks are [ns, nv_tile] f32 x2, plus the
+    # [128, nv_tile] b1/b2 operand builds (the +256 term) - together <= ~8 MB.
+    # nv_tile is rounded down to a multiple of 128 (Mosaic block-shape rule).
+    nv_tile = min(nv, max(512, ((1 << 20) // (ns + pad_ns + 256)) // 128 * 128))
     pad_nv = (-nv) % nv_tile
 
     tr16 = jnp.concatenate(
@@ -688,7 +567,8 @@ def lcp_scores_pallas_segside(
         out_shape=jax.ShapeDtypeStruct((h + pad_h, 128), jnp.float32),
         grid=((h + pad_h) // h_tile, (nv + pad_nv) // nv_tile),
         in_specs=[
-            pl.BlockSpec((h_tile, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            # Transforms in SMEM: the kernel reads them as scalars.
+            pl.BlockSpec((h_tile, 128), lambda i, j: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((128, nv_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (ns + pad_ns, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM

@@ -33,7 +33,7 @@ class ScoredHypotheses(NamedTuple):
         "top_k", "coarse_subsample", "icp_iters", "icp_subsample", "delta",
         "normal_gate_deg", "use_pallas", "icp_nn_refresh",
         "coarse_precision", "fine_precision", "coarse_weighted",
-        "fine_exact_k",
+        "fine_exact_k", "icp_precision", "coarse_seg_stride",
     ),
 )
 def score_refine_pipeline(
@@ -58,14 +58,26 @@ def score_refine_pipeline(
     fine_precision: str | None = None,
     coarse_weighted: bool = True,
     fine_exact_k: int = 0,
+    # Mosaic supports only DEFAULT/HIGHEST dot precisions ("high" raises
+    # NotImplementedError in the Pallas lowering); None = exact f32.
+    icp_precision: str | None = None,
+    coarse_seg_stride: int = 1,
 ) -> ScoredHypotheses:
     """Score all H hypotheses coarsely, refine + rescore the best top_k."""
     h = transforms.shape[0]
     k = min(top_k, h)
 
     # Stage 1: coarse LCP on a strided validation subsample.
+    # coarse_seg_stride > 1 additionally strides the SEGMENT side of the
+    # ranking pass (the d2 block shrinks in both dimensions; measured
+    # exact-top-64 survival stays 64/64 at stride 2 on the clutter workload,
+    # scripts/r3_lcp_micro.py + tests/test_tpu_bf16.py).
     coarse_pts = model_validation_pts[::coarse_subsample]
     coarse_nrm = model_validation_nrm[::coarse_subsample]
+    c_seg = seg_pts[::coarse_seg_stride]
+    c_seg_nrm = seg_nrm[::coarse_seg_stride]
+    c_seg_prob = seg_prob[::coarse_seg_stride]
+    c_seg_mask = seg_mask[::coarse_seg_stride]
     # coarse_precision="default" runs the ranking pass in 1 bf16 MXU pass
     # (~6x the f32 matmul rate); its ~5e-5 d^2 noise only perturbs points in
     # a ~5 mm band around delta, and the ranking-fidelity tests
@@ -76,25 +88,41 @@ def score_refine_pipeline(
     # reductions; the exact weighted fine stage re-applies the gate.
     coarse = lcp_mod.lcp_scores(
         transforms, coarse_pts, coarse_nrm,
-        seg_pts, seg_nrm, seg_prob, seg_mask,
+        c_seg, c_seg_nrm, c_seg_prob, c_seg_mask,
         delta=delta, normal_gate_deg=normal_gate_deg,
         weighted=coarse_weighted, use_pallas=use_pallas,
         matmul_precision=coarse_precision,
     )
 
-    # Stage 2: top-k survivors get batched ICP refinement. Measured on v5e:
-    # the XLA formulation (bandwidth-bound, ~270 ms for 1024x10it) beats the
-    # Pallas kernel (~410 ms - its K=128 padding costs 25x the real FLOPs at
-    # ICP's small working set), so XLA is the default here.
+    # Stage 2: top-k survivors get batched ICP refinement. On TPU the
+    # segment-stationary Pallas kernel (ops/icp.py _icp_corr_kernel_segside)
+    # keeps the whole [Ns, Nm] correspondence block in VMEM and ships only
+    # the 6x6 normal equations per hypothesis per iteration; it needs the
+    # whole model in one VMEM block (Spad * Nm <= 1M f32 x2 live blocks),
+    # which every production shape satisfies - beyond that, fall back to the
+    # XLA formulation (bandwidth-bound but tiled). With per-iteration
+    # correspondences nearly free on the Pallas path, nn_refresh only
+    # applies to the XLA fallback.
     _, idx = jax.lax.top_k(coarse, k)
     top_tfs = transforms[idx]
-    refined = icp_mod.refine_icp(
-        top_tfs,
-        model_search_pts[::icp_subsample],
-        model_search_nrm[::icp_subsample],
-        seg_pts, seg_mask,
-        iters=icp_iters, point_to_plane=True, nn_refresh=icp_nn_refresh,
+    icp_pts = model_search_pts[::icp_subsample]
+    icp_nrm = model_search_nrm[::icp_subsample]
+    ns_pad = seg_pts.shape[0] + (-seg_pts.shape[0]) % 128
+    nm_pad = icp_pts.shape[0] + (-icp_pts.shape[0]) % 128
+    pallas_icp = (
+        (use_pallas if use_pallas is not None else jax.default_backend() == "tpu")
+        and ns_pad * nm_pad <= (1 << 20)
     )
+    if pallas_icp:
+        refined = icp_mod.refine_icp_pallas_segside(
+            top_tfs, icp_pts, icp_nrm, seg_pts, seg_mask,
+            iters=icp_iters, matmul_precision=icp_precision,
+        )
+    else:
+        refined = icp_mod.refine_icp(
+            top_tfs, icp_pts, icp_nrm, seg_pts, seg_mask,
+            iters=icp_iters, point_to_plane=True, nn_refresh=icp_nn_refresh,
+        )
 
     # Stage 3: full-resolution weighted LCP on the refined survivors.
     fine = lcp_mod.lcp_scores(
@@ -104,10 +132,13 @@ def score_refine_pipeline(
         weighted=True, use_pallas=use_pallas,
         matmul_precision=fine_precision,
     )
-    if fine_exact_k and fine_precision == "default":
-        # Two-tier fine: the bulk rescoring ran in one bf16 MXU pass; the
-        # top fine_exact_k survivors (>= what the product consumes) get an
-        # exact fp32 rescore so the reported winners carry exact scores.
+    if fine_exact_k and fine_precision not in (None, "highest"):
+        # Two-tier fine: the bulk rescoring ran at lowered matmul precision
+        # ("default" = 1 bf16 MXU pass, "high" = 3); the top fine_exact_k
+        # survivors (>= what the product consumes) get an exact fp32 rescore
+        # so the reported winners carry exact scores. When fine_precision is
+        # already exact (None/"highest") the rescore would recompute identical
+        # scores, so it is skipped - fine_exact_k is a no-op there by design.
         _, idx_e = jax.lax.top_k(fine, min(fine_exact_k, k))
         exact = lcp_mod.lcp_scores(
             refined[idx_e], model_validation_pts, model_validation_nrm,

@@ -44,6 +44,7 @@ class _SceneJobs:
     segs: object  # Segment3D stacked [K, ...]
     gen_keys: np.ndarray  # [K, 2] raw key data (jax.random.key_data)
     table_pose: np.ndarray
+    depth_clean: np.ndarray  # [H, W] table-removed depth (MCTS leaf obs)
 
 
 def prepare_scene(
@@ -95,6 +96,7 @@ def prepare_scene(
         segs=segs,
         gen_keys=np.asarray(jax.random.key_data(gen_keys)),
         table_pose=np.asarray(table_pose),
+        depth_clean=np.asarray(depth_clean),
     )
 
 
@@ -118,13 +120,18 @@ def sweep_scenes(
     use_pallas: bool | None = None,
     nn_predictor=None,
     detector=None,
+    verification_mode: str = "LCP",
 ) -> Dict[str, PoseEstimationResult]:
     """Estimate poses for many scenes with jobs sharded over the mesh.
 
-    LCP verification mode only (the sweep's device program is generation +
-    scoring + refinement; MCTS stays a per-scene host-driven search). Returns
+    verification_mode="LCP": the sweep's single device program is generation
+    + scoring + refinement. verification_mode="MCTS" additionally runs the
+    physics-aware searches of ALL scenes concurrently through one
+    MultiSceneLeafEvaluator (pipeline/mcts.py) - pending leaves from every
+    scene's tree share each settle+render dispatch, completing BASELINE
+    config 5 for the MCTS configuration as well. Returns
     {scene_dir: PoseEstimationResult} with the same per-object contents as
-    api.estimate_pose(..., verification_mode="LCP").
+    api.estimate_pose(..., verification_mode=...).
     """
     gen_modes = {"PCS": "stocs", "CONGRUENT_SET_MATCHING": "stocs",
                  "SUPER4PCS": "super4pcs", "V4PCS": "v4pcs"}
@@ -252,6 +259,22 @@ def sweep_scenes(
                 hypothesis_scores=top_scores[row],
             )
         )
+    mcts_s = 0.0
+    if verification_mode == "MCTS":
+        from physimglobalpose_tpu.pipeline import mcts as mcts_mod
+
+        t2 = time.perf_counter()
+        scene_rows = [
+            (per_scene[si], pj.sc, pj.table_pose, pj.depth_clean)
+            for si, pj in enumerate(prepared)
+        ]
+        refined_rows = mcts_mod.mcts_select_multi(scene_rows, db, cfg, seed=seed)
+        for si in per_scene:
+            per_scene[si] = refined_rows[si]
+        mcts_s = time.perf_counter() - t2
+    elif verification_mode != "LCP":
+        raise ValueError(f"unsupported sweep verification mode {verification_mode!r}")
+
     n_scenes = len(prepared)
     for si, pj in enumerate(prepared):
         out[pj.scene_dir] = PoseEstimationResult(
@@ -259,7 +282,8 @@ def sweep_scenes(
             timings={
                 "preprocess_s": prep_s / n_scenes,
                 "device_s": device_s / n_scenes,
-                "scenes_per_sec": n_scenes / (prep_s + device_s),
+                "mcts_s": mcts_s / n_scenes,
+                "scenes_per_sec": n_scenes / (prep_s + device_s + mcts_s),
             },
         )
     return out

@@ -70,10 +70,12 @@ def evaluate_scenes(
     Re-running with the same log_path resumes: scenes already logged are
     skipped (crash-safe per-scene checkpointing).
 
-    mesh: a jax.sharding.Mesh switches LCP-mode sweeps to the data-parallel
-    path (parallel/scene_sweep.py): all pending scenes' (scene, object) jobs
-    run as ONE device program sharded across the mesh - BASELINE config 5
-    (scenes/sec across a multi-chip slice). Results match the serial path
+    mesh: a jax.sharding.Mesh switches LCP/MCTS-mode sweeps to the
+    data-parallel path (parallel/scene_sweep.py): all pending scenes'
+    (scene, object) jobs run as ONE device program sharded across the mesh,
+    and in MCTS mode the per-scene searches then share leaf-eval dispatches
+    through one MultiSceneLeafEvaluator - BASELINE config 5 (scenes/sec
+    across a multi-chip slice). Results match the serial path
     (tests/test_scene_sweep.py).
     """
     done = completed_scenes(log_path)
@@ -94,19 +96,29 @@ def evaluate_scenes(
             fh.write(json.dumps(row) + "\n")
         rows.append(row)
 
-    if mesh is not None and verification_mode == "LCP" and pending:
+    if mesh is not None and verification_mode in ("LCP", "MCTS") and pending:
         from physimglobalpose_tpu.parallel import scene_sweep
 
         t0 = time.perf_counter()
         results = scene_sweep.sweep_scenes(
             mesh, pending, db, dataset=dataset,
             segmentation_mode=segmentation_mode, cfg=cfg, seed=seed,
+            verification_mode=verification_mode,
         )
-        per_scene_s = (time.perf_counter() - t0) / max(len(pending), 1)
+        batch_total_s = time.perf_counter() - t0
+        per_scene_s = batch_total_s / max(len(pending), 1)
         for sd in pending:
+            # Sharded rows carry batch-averaged timing, not a true per-scene
+            # wall time; label them so downstream aggregation can tell the two
+            # timing semantics apart when serial and sharded runs share a log.
             write_row(
                 sd, results[sd], per_scene_s,
-                extra={"scenes_per_sec": results[sd].timings.get("scenes_per_sec")},
+                extra={
+                    "scenes_per_sec": results[sd].timings.get("scenes_per_sec"),
+                    "sharded": True,
+                    "batch_scenes": len(pending),
+                    "seconds_batch_total": batch_total_s,
+                },
             )
         pending = []
 

@@ -55,6 +55,96 @@ class _Node:
         return self.qval / n - alpha * math.sqrt(2 * math.log(max(parent_n, 1)) / n)
 
 
+def _leaf_eval_one(consts, cfg, h, w, choice_row, active_row):
+    """Evaluate ONE placement assignment: settle -> render -> pixel cost.
+
+    consts: per-scene constants dict (hulls, render clouds, world hypotheses,
+    camera/table poses, intrinsics, observed depth). Shared by the
+    single-scene BatchedLeafEvaluator (vmap over leaves) and the multi-scene
+    MultiSceneLeafEvaluator (vmap over (scene, leaf) rows after a per-row
+    scene gather).
+    """
+    ph = cfg.physics
+    k = consts["hull_pts"].shape[0]
+    num_hyp = consts["hyp_world"].shape[1]
+
+    safe_choice = jnp.clip(choice_row, 0, num_hyp - 1)
+    poses_w = consts["hyp_world"][jnp.arange(k), safe_choice]  # [K, 4, 4]
+    order_pos = jnp.cumsum(active_row.astype(jnp.int32)) - 1
+    quat = se3.matrix_to_quat(poses_w[:, :3, :3])
+    pos = poses_w[:, :3, 3]
+
+    def scene_for(inv_mass, placed_row):
+        return physics.PhysicsScene(
+            hull_pts=consts["hull_pts"],
+            hull_mask=consts["hull_mask"]
+            & placed_row[:, None],  # unplaced objects have no hull -> no contacts
+            hull_eqs=consts["hull_eqs"],
+            inv_mass=inv_mass,
+            inv_inertia=consts["inv_inertia"],
+            table_pose=consts["table_pose"],
+            table_half_extents=jnp.asarray(ph.table_half_extents),
+            # Unplaced objects must not collide in either role (their
+            # hull_eqs would act as invisible static colliders at the
+            # clipped hypothesis-0 pose); reference correctPhysics only
+            # adds placed objects to the world (UCTState.cpp:208-270).
+            body_active=placed_row,
+        )
+
+    def run_settle(scene, q, p):
+        return physics.settle(
+            scene, q, p,
+            steps=ph.steps, substeps=ph.substeps, dt=ph.dt,
+            gravity=ph.gravity, damping=ph.damping,
+            friction=ph.friction, restitution=ph.restitution,
+        )
+
+    if cfg.mcts.sequential_settle:
+        # Reference defaultPolicy settles each newly placed object on
+        # top of the previously *settled* ones (UCTSearch.cpp:140-194):
+        # scan over placement order, object at position d dynamic,
+        # 0..d-1 static at their settled poses, later objects absent.
+        def settle_step(carry, d):
+            q, p = carry
+            is_dyn = active_row & (order_pos == d)
+            placed = active_row & (order_pos <= d)
+            inv_mass = jnp.where(is_dyn, 1.0 / ph.object_mass, 0.0)
+            q2, p2 = run_settle(scene_for(inv_mass, placed), q, p)
+            return (q2, p2), None
+
+        (q2, p2), _ = jax.lax.scan(settle_step, (quat, pos), jnp.arange(k))
+    else:
+        # Fast path: one settle of the complete assignment, only the
+        # last-placed object dynamic (single-dynamic semantics;
+        # equivalent for non-stacked scenes - measured A/B in
+        # tests/test_mcts_stacked.py).
+        last_idx = jnp.max(jnp.where(active_row, order_pos, -1))
+        is_dynamic = active_row & (order_pos == last_idx)
+        inv_mass = jnp.where(is_dynamic, 1.0 / ph.object_mass, 0.0)
+        q2, p2 = run_settle(scene_for(inv_mass, active_row), quat, pos)
+    settled_w = se3.pose_from_rot_trans(se3.quat_to_matrix(q2), p2)
+    # Render all placed objects in camera frame, composite.
+    settled_cam = jnp.einsum("ij,kjl->kil", consts["cam_pose_inv"], settled_w)
+
+    def render_one(i, buf):
+        d = raster.render_object_depth(
+            settled_cam[i], consts["render_pts"][i],
+            consts["render_mask"][i] & active_row[i],
+            consts["intr"], h, w, radius=1,
+        )
+        return raster.composite_min(buf, d)
+
+    depth = jax.lax.fori_loop(
+        0, k, render_one, jnp.zeros((h, w), jnp.float32)
+    )
+    # Reference zeroes rendered depth beyond 1 m (renderScene.cpp:70):
+    # objects pushed out of the workspace render as empty, so their
+    # pixels count as unexplained rather than wrongly-explained.
+    depth = jnp.where(depth > cfg.render.max_render_depth, 0.0, depth)
+    c = cost_mod.render_cost(consts["obs"], depth, cfg.render.explanation_threshold)
+    return c, settled_w
+
+
 class BatchedLeafEvaluator:
     """Evaluates B candidate placements (settle + render + cost) on device."""
 
@@ -67,8 +157,10 @@ class BatchedLeafEvaluator:
         cam_pose: np.ndarray,
         table_pose: np.ndarray,
         cfg: PipelineConfig,
-        render_scale: int = 4,
+        render_scale: int | None = None,
     ):
+        if render_scale is None:
+            render_scale = cfg.mcts.render_scale
         self.cfg = cfg
         k = len(obj_hulls)
         self.k = k
@@ -124,65 +216,127 @@ class BatchedLeafEvaluator:
     def _evaluate_batch(self, choices: jnp.ndarray, active: jnp.ndarray):
         """choices: [B, K] hypothesis index per object (-1 = not placed);
         active: [B, K] bool. Returns (costs [B], settled world poses [B, K, 4, 4])."""
-        cfg = self.cfg
-        ph = cfg.physics
-
-        def one(choice_row, active_row):
-            # Gather world poses for the chosen hypotheses.
-            safe_choice = jnp.clip(choice_row, 0, self.num_hyp - 1)
-            poses_w = self.hyp_world[jnp.arange(self.k), safe_choice]  # [K, 4, 4]
-            # Physics: placed objects are bodies; the *last* active one is
-            # dynamic, previous are static (correctPhysics semantics).
-            order_pos = jnp.cumsum(active_row.astype(jnp.int32)) - 1
-            last_idx = jnp.max(jnp.where(active_row, order_pos, -1))
-            is_dynamic = active_row & (order_pos == last_idx)
-            inv_mass = jnp.where(is_dynamic, 1.0 / ph.object_mass, 0.0)
-            scene = physics.PhysicsScene(
-                hull_pts=self.scene_const["hull_pts"],
-                hull_mask=self.scene_const["hull_mask"]
-                & active_row[:, None],  # unplaced objects have no hull -> no contacts
-                hull_eqs=self.scene_const["hull_eqs"],
-                inv_mass=inv_mass,
-                inv_inertia=self.scene_const["inv_inertia"],
-                table_pose=self.table_pose,
-                table_half_extents=jnp.asarray(ph.table_half_extents),
-                # Unplaced objects must not collide in either role (their
-                # hull_eqs would act as invisible static colliders at the
-                # clipped hypothesis-0 pose); reference correctPhysics only
-                # adds placed objects to the world (UCTState.cpp:208-270).
-                body_active=active_row,
-            )
-            quat = se3.matrix_to_quat(poses_w[:, :3, :3])
-            pos = poses_w[:, :3, 3]
-            q2, p2 = physics.settle(
-                scene, quat, pos,
-                steps=ph.steps, substeps=ph.substeps, dt=ph.dt,
-                gravity=ph.gravity, damping=ph.damping,
-                friction=ph.friction, restitution=ph.restitution,
-            )
-            settled_w = se3.pose_from_rot_trans(se3.quat_to_matrix(q2), p2)
-            # Render all placed objects in camera frame, composite.
-            settled_cam = jnp.einsum("ij,kjl->kil", self.cam_pose_inv, settled_w)
-
-            def render_one(i, buf):
-                d = raster.render_object_depth(
-                    settled_cam[i], self.render_pts[i],
-                    self.render_mask[i] & active_row[i],
-                    self.intr, self.h, self.w, radius=1,
-                )
-                return raster.composite_min(buf, d)
-
-            depth = jax.lax.fori_loop(
-                0, self.k, render_one, jnp.zeros((self.h, self.w), jnp.float32)
-            )
-            c = cost_mod.render_cost(self.obs, depth, cfg.render.explanation_threshold)
-            return c, settled_w
-
-        return jax.vmap(one)(choices, active)
+        consts = dict(
+            **self.scene_const,
+            render_pts=self.render_pts,
+            render_mask=self.render_mask,
+            hyp_world=self.hyp_world,
+            table_pose=self.table_pose,
+            cam_pose_inv=self.cam_pose_inv,
+            intr=self.intr,
+            obs=self.obs,
+        )
+        return jax.vmap(
+            lambda c, a: _leaf_eval_one(consts, self.cfg, self.h, self.w, c, a)
+        )(choices, active)
 
     def evaluate(self, batch_choices: np.ndarray, batch_active: np.ndarray):
         costs, settled = self._eval(jnp.asarray(batch_choices), jnp.asarray(batch_active))
         return np.asarray(costs), np.asarray(settled)
+
+
+@dataclasses.dataclass
+class _Tree:
+    """Host-side UCT search state for one scene."""
+
+    root: _Node
+    k: int
+    c: int
+    hyp_scores: np.ndarray  # [K, C]
+    rng: np.random.Generator
+    budget: int
+    expansions: int = 0
+    best_cost: float = math.inf
+    best_assign: np.ndarray = None  # [K]
+
+    @property
+    def done(self) -> bool:
+        return self.expansions >= self.budget
+
+
+def _make_tree(hyp_scores, k, c, budget, seed) -> _Tree:
+    best_assign = np.argmax(hyp_scores[:, :c], axis=1).astype(np.int64)
+    return _Tree(
+        root=_Node(depth=0, choice=-1, parent=None, children={}),
+        k=k, c=c, hyp_scores=hyp_scores,
+        rng=np.random.default_rng(seed), budget=budget,
+        best_assign=best_assign,
+    )
+
+
+def _assignment_of(tree: _Tree, node: _Node, rollout_tail: bool) -> np.ndarray:
+    """Choices along the path to node, random tail to full depth."""
+    choices = np.full(tree.k, -1, np.int64)
+    cur = node
+    while cur.parent is not None:
+        choices[cur.depth - 1] = cur.choice
+        cur = cur.parent
+    if rollout_tail:
+        for d in range(node.depth, tree.k):
+            choices[d] = tree.rng.integers(0, tree.c)
+    return choices
+
+
+def _collect_batch(tree: _Tree, alpha: float, quota: int) -> List[tuple]:
+    """Collect up to `quota` pending leaf evaluations with virtual loss.
+
+    Tree policy: descend fully-expanded nodes by min-UCB; expand the best
+    unexpanded child by hval (LCP heuristic), as the reference does
+    (UCTSearch.cpp:204-211); rollouts pick random hypotheses to full depth.
+    """
+    pend: List[tuple] = []  # (node_to_backup, choices)
+    for _ in range(quota):
+        node = tree.root
+        while node.depth < tree.k and len(node.children) == tree.c:
+            parent_n = node.n + node.virtual
+            node = min(
+                node.children.values(), key=lambda ch: ch.ucb(alpha, parent_n)
+            )
+        if node.depth < tree.k:
+            unexpanded = [i for i in range(tree.c) if i not in node.children]
+            pick = max(unexpanded, key=lambda i: tree.hyp_scores[node.depth, i])
+            child = _Node(
+                depth=node.depth + 1,
+                choice=pick,
+                parent=node,
+                children={},
+                hval=float(tree.hyp_scores[node.depth, pick]),
+            )
+            node.children[pick] = child
+            node = child
+            tree.expansions += 1
+        cur = node
+        while cur is not None:
+            cur.virtual += 1
+            cur = cur.parent
+        pend.append((node, _assignment_of(tree, node, rollout_tail=True)))
+        if tree.done:
+            break
+    return pend
+
+
+def _backup(tree: _Tree, pend: List[tuple], costs) -> None:
+    for (node, choices), cost_v in zip(pend, costs):
+        cost_v = float(cost_v)
+        if cost_v < tree.best_cost:
+            tree.best_cost = cost_v
+            tree.best_assign = choices.copy()
+        cur = node
+        while cur is not None:
+            cur.virtual -= 1
+            cur.n += 1
+            cur.qval += cost_v
+            cur = cur.parent
+
+
+def _search_budget(k: int, c: int, cap: int) -> int:
+    # Budget: sum_{i=0}^{k} branching^i expansions (UCTSearch.cpp:290-294;
+    # the reference loop is `for ii=0; ii<=numObjects` so the i=0 term
+    # counts), capped by cfg.mcts.max_expansions - a documented deviation:
+    # 25^3+ expansions are intractable serially and unnecessary with batched
+    # leaf evaluation, and the reference's own 60 s wall-clock cut typically
+    # binds first anyway.
+    return min(sum(c**i for i in range(0, k + 1)), cap)
 
 
 def uct_search(
@@ -199,105 +353,183 @@ def uct_search(
     mc = cfg.mcts
     k = evaluator.k
     c = min(mc.branching, hyp_scores.shape[1])
-    rng = np.random.default_rng(seed)
-    root = _Node(depth=0, choice=-1, parent=None, children={})
-
-    # Budget: sum_{i=0}^{k} branching^i expansions (UCTSearch.cpp:290-294;
-    # the reference loop is `for ii=0; ii<=numObjects` so the i=0 term
-    # counts), capped by cfg.mcts.max_expansions - a documented deviation:
-    # 25^3+ expansions are intractable serially and unnecessary with batched
-    # leaf evaluation, and the reference's own 60 s wall-clock cut typically
-    # binds first anyway.
-    budget = sum(c**i for i in range(0, k + 1))
-    budget = min(budget, max_iterations or mc.max_expansions)
+    budget = _search_budget(k, c, max_iterations or mc.max_expansions)
+    tree = _make_tree(hyp_scores, k, c, budget, seed)
     deadline = time.monotonic() + mc.max_search_seconds
 
-    best_cost = math.inf
-    best_assign = np.zeros(k, np.int64)
-    # Fallback: greedy-by-LCP assignment.
-    best_assign[:] = np.argmax(hyp_scores[:, :c], axis=1)
-
-    def assignment_of(node: _Node, rollout_tail: bool) -> np.ndarray:
-        """Choices along the path to node, random tail to full depth."""
-        choices = np.full(k, -1, np.int64)
-        cur = node
-        while cur.parent is not None:
-            choices[cur.depth - 1] = cur.choice
-            cur = cur.parent
-        if rollout_tail:
-            for d in range(node.depth, k):
-                choices[d] = rng.integers(0, c)
-        return choices
-
-    expansions = 0
-    while expansions < budget and time.monotonic() < deadline:
-        # Collect a batch of leaves with virtual loss.
-        pend: List[tuple] = []  # (node_to_backup, choices, depth_evaluated)
-        for _ in range(mc.leaf_batch):
-            node = root
-            # Tree policy: descend fully-expanded nodes by min-UCB.
-            while node.depth < k and len(node.children) == c:
-                parent_n = node.n + node.virtual
-                node = min(
-                    node.children.values(), key=lambda ch: ch.ucb(mc.alpha, parent_n)
-                )
-            if node.depth < k:
-                # Expand: best unexpanded child by hval (LCP), as the reference
-                # does (UCTSearch.cpp:204-211).
-                unexpanded = [
-                    i for i in range(c) if i not in node.children
-                ]
-                pick = max(unexpanded, key=lambda i: hyp_scores[node.depth, i])
-                child = _Node(
-                    depth=node.depth + 1,
-                    choice=pick,
-                    parent=node,
-                    children={},
-                    hval=float(hyp_scores[node.depth, pick]),
-                )
-                node.children[pick] = child
-                node = child
-                expansions += 1
-            # Virtual loss up the path.
-            cur = node
-            while cur is not None:
-                cur.virtual += 1
-                cur = cur.parent
-            choices = assignment_of(node, rollout_tail=True)
-            pend.append((node, choices))
-            if expansions >= budget:
-                break
-
+    while not tree.done and time.monotonic() < deadline:
+        pend = _collect_batch(tree, mc.alpha, mc.leaf_batch)
         if not pend:
             break
         batch_choices = np.stack([p[1] for p in pend])
         batch_active = batch_choices >= 0
         costs, _ = evaluator.evaluate(batch_choices, batch_active)
+        _backup(tree, pend, costs)
 
-        for (node, choices), cost_v in zip(pend, costs):
-            cost_v = float(cost_v)
-            if cost_v < best_cost:
-                best_cost = cost_v
-                best_assign = choices.copy()
-            cur = node
-            while cur is not None:
-                cur.virtual -= 1
-                cur.n += 1
-                cur.qval += cost_v
-                cur = cur.parent
-
-    return best_assign, best_cost
+    return tree.best_assign, tree.best_cost
 
 
-def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
-                snapshot_path=None, search="uct"):
-    """MCTSSelection::selectBestPoses analogue: refine per-object pose choice
-    by physics-aware search; installs the best state's poses + settled poses."""
+class MultiSceneLeafEvaluator:
+    """Evaluates (scene, leaf) rows from MANY scenes in one device dispatch.
+
+    The reference runs one serial UCT search per scene; the batched
+    single-scene evaluator already amortizes settle+render over leaves, and
+    this evaluator additionally stacks SCENES into the same batch axis - the
+    per-dispatch tunnel latency (the dominant MCTS cost on the axon backend)
+    is then paid once for all scenes' pending leaves. Scene constants are
+    padded to common (K, P, F, N, C) shapes and stacked on a leading axis;
+    evaluate() gathers each row's scene constants by index inside the vmap.
+
+    All scenes must share the image resolution and cfg (true for a dataset
+    sweep).
+    """
+
+    def __init__(self, evaluators: List[BatchedLeafEvaluator]):
+        assert evaluators, "need at least one scene"
+        self.cfg = evaluators[0].cfg
+        self.h = evaluators[0].h
+        self.w = evaluators[0].w
+        for ev in evaluators:
+            assert (ev.h, ev.w) == (self.h, self.w), "mixed render resolutions"
+        self.ks = [ev.k for ev in evaluators]
+        self.k_max = max(self.ks)
+        self.num_scenes = len(evaluators)
+
+        k_max = self.k_max
+        p_max = max(ev.scene_const["hull_pts"].shape[1] for ev in evaluators)
+        f_max = max(ev.scene_const["hull_eqs"].shape[1] for ev in evaluators)
+        n_max = max(ev.render_pts.shape[1] for ev in evaluators)
+        c_max = max(ev.hyp_world.shape[1] for ev in evaluators)
+
+        def pad_to(x, shape):
+            x = np.asarray(x)
+            out = np.zeros(shape, x.dtype)
+            sl = tuple(slice(0, s) for s in x.shape)
+            out[sl] = x
+            return out
+
+        consts = dict(
+            hull_pts=[], hull_mask=[], hull_eqs=[], inv_inertia=[],
+            render_pts=[], render_mask=[], hyp_world=[], table_pose=[],
+            cam_pose_inv=[], intr=[], obs=[],
+        )
+        for ev in evaluators:
+            k, p = ev.scene_const["hull_pts"].shape[:2]
+            f = ev.scene_const["hull_eqs"].shape[1]
+            n = ev.render_pts.shape[1]
+            c = ev.hyp_world.shape[1]
+            consts["hull_pts"].append(
+                pad_to(ev.scene_const["hull_pts"], (k_max, p_max, 3)))
+            consts["hull_mask"].append(
+                pad_to(ev.scene_const["hull_mask"], (k_max, p_max)))
+            # Padded hull faces/objects use the far-away plane so they never
+            # produce contacts (same convention as BatchedLeafEvaluator).
+            eqs = np.tile(np.array([0, 0, 1, -1e9], np.float32),
+                          (k_max, f_max, 1))
+            eqs[:k, :f] = np.asarray(ev.scene_const["hull_eqs"])
+            consts["hull_eqs"].append(eqs)
+            inv_in = pad_to(ev.scene_const["inv_inertia"], (k_max, 3))
+            inv_in[k:] = 1.0  # benign inertia for padded objects
+            consts["inv_inertia"].append(inv_in)
+            consts["render_pts"].append(pad_to(ev.render_pts, (k_max, n_max, 3)))
+            consts["render_mask"].append(pad_to(ev.render_mask, (k_max, n_max)))
+            # Padded hypothesis slots repeat hypothesis 0; padded objects get
+            # identity poses (never active).
+            hw = np.tile(np.eye(4, dtype=np.float32), (k_max, c_max, 1, 1))
+            hw[:k, :c] = np.asarray(ev.hyp_world)
+            if c < c_max:
+                hw[:k, c:] = hw[:k, :1]
+            consts["hyp_world"].append(hw)
+            consts["table_pose"].append(np.asarray(ev.table_pose))
+            consts["cam_pose_inv"].append(np.asarray(ev.cam_pose_inv))
+            consts["intr"].append(np.asarray(ev.intr))
+            consts["obs"].append(np.asarray(ev.obs))
+        self.consts = {kk: jnp.asarray(np.stack(v)) for kk, v in consts.items()}
+        self._eval = jax.jit(self._evaluate_batch)
+
+    def _evaluate_batch(self, scene_idx, choices, active):
+        def row(si, c, a):
+            consts_i = jax.tree.map(lambda x: x[si], self.consts)
+            return _leaf_eval_one(consts_i, self.cfg, self.h, self.w, c, a)
+
+        return jax.vmap(row)(scene_idx, choices, active)
+
+    def evaluate(self, scene_idx: np.ndarray, choices: np.ndarray,
+                 active: np.ndarray):
+        costs, settled = self._eval(
+            jnp.asarray(scene_idx), jnp.asarray(choices), jnp.asarray(active)
+        )
+        return np.asarray(costs), np.asarray(settled)
+
+
+def uct_search_multi(
+    msev: MultiSceneLeafEvaluator,
+    hyp_scores_list: List[np.ndarray],  # per scene [K_s, C_s]
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+    max_iterations: Optional[int] = None,
+) -> List[tuple[np.ndarray, float]]:
+    """Run S concurrent UCT searches sharing one leaf-eval dispatch.
+
+    Each iteration splits cfg.mcts.leaf_batch across the still-running
+    scenes, collects their pending leaves (virtual loss decorrelates within
+    each tree), evaluates all of them in ONE device call, and backs up
+    per-tree. The batch is padded to a fixed size (repeating the first row,
+    results discarded) so the jitted evaluator compiles once.
+
+    Returns per scene (best assignment [K_s], best cost).
+    """
+    mc = cfg.mcts
+    trees: List[_Tree] = []
+    for si, hs in enumerate(hyp_scores_list):
+        k = msev.ks[si]
+        c = min(mc.branching, hs.shape[1])
+        budget = _search_budget(k, c, max_iterations or mc.max_expansions)
+        trees.append(_make_tree(hs, k, c, budget, seed + si))
+    deadline = time.monotonic() + mc.max_search_seconds
+    k_max = msev.k_max
+    batch = mc.leaf_batch
+
+    while time.monotonic() < deadline:
+        live = [si for si, t in enumerate(trees) if not t.done]
+        if not live:
+            break
+        quota = max(1, batch // len(live))
+        rows_scene: List[int] = []
+        rows_choices: List[np.ndarray] = []
+        pend_per_scene: List[tuple] = []
+        for si in live:
+            pend = _collect_batch(trees[si], mc.alpha, quota)
+            pend_per_scene.append((si, pend))
+            for _, choices in pend:
+                row = np.full(k_max, -1, np.int64)
+                row[: trees[si].k] = choices
+                rows_scene.append(si)
+                rows_choices.append(row)
+        if not rows_choices:
+            break
+        n_real = len(rows_choices)
+        pad = (-n_real) % batch  # fixed batch-size multiples -> stable jit shapes
+        for _ in range(pad):
+            rows_scene.append(rows_scene[0])
+            rows_choices.append(rows_choices[0])
+        scene_idx = np.asarray(rows_scene)
+        choices_arr = np.stack(rows_choices)
+        active_arr = choices_arr >= 0
+        costs, _ = msev.evaluate(scene_idx, choices_arr, active_arr)
+        ofs = 0
+        for si, pend in pend_per_scene:
+            _backup(trees[si], pend, costs[ofs : ofs + len(pend)])
+            ofs += len(pend)
+
+    return [(t.best_assign, t.best_cost) for t in trees]
+
+
+def _scene_search_inputs(estimates, sc, db, cfg):
+    """Per-scene search inputs: (hyp_world [K,C,4,4], hyp_scores [K,C],
+    obj_hulls) from the LCP-stage estimates."""
     k = len(estimates)
-    if k == 0:
-        return estimates
     c = min(cfg.mcts.branching, max(len(e.hypothesis_scores) for e in estimates))
-
     hyp_world = np.zeros((k, c, 4, 4), np.float32)
     hyp_scores = np.zeros((k, c), np.float32)
     obj_hulls = []
@@ -322,6 +554,38 @@ def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
                 render_mask=np.ones(len(obj.validation_pts), bool),
             )
         )
+    return hyp_world, hyp_scores, obj_hulls
+
+
+def _install_assignment(estimates, assign, settled_row, cam):
+    """Write the settled world poses of the chosen assignment back into the
+    per-object estimates (pose_cam recomputed through the camera)."""
+    cam_inv = se3.invert_pose(cam)
+    out = []
+    for i, est in enumerate(estimates):
+        pose_w = settled_row[i]
+        pose_cam = np.asarray(se3.compose(cam_inv, jnp.asarray(pose_w)))
+        out.append(
+            dataclasses.replace(
+                est,
+                pose_cam=pose_cam,
+                pose_world=np.asarray(pose_w),
+                score=float(est.hypothesis_scores[assign[i]])
+                if assign[i] < len(est.hypothesis_scores)
+                else est.score,
+            )
+        )
+    return out
+
+
+def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
+                snapshot_path=None, search="uct"):
+    """MCTSSelection::selectBestPoses analogue: refine per-object pose choice
+    by physics-aware search; installs the best state's poses + settled poses."""
+    k = len(estimates)
+    if k == 0:
+        return estimates
+    hyp_world, hyp_scores, obj_hulls = _scene_search_inputs(estimates, sc, db, cfg)
 
     evaluator = BatchedLeafEvaluator(
         obj_hulls,
@@ -347,19 +611,56 @@ def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
     choices = assign[None, :]
     active = np.ones((1, k), bool)
     _, settled = evaluator.evaluate(choices, active)
-    cam_inv = se3.invert_pose(cam)
-    out = []
-    for i, est in enumerate(estimates):
-        pose_w = settled[0, i]
-        pose_cam = np.asarray(se3.compose(cam_inv, jnp.asarray(pose_w)))
-        out.append(
-            dataclasses.replace(
-                est,
-                pose_cam=pose_cam,
-                pose_world=np.asarray(pose_w),
-                score=float(est.hypothesis_scores[assign[i]])
-                if assign[i] < len(est.hypothesis_scores)
-                else est.score,
+    return _install_assignment(estimates, assign, settled[0], jnp.asarray(sc.cam_pose))
+
+
+def mcts_select_multi(scene_rows, db, cfg, seed=0):
+    """Physics-aware MCTS selection for MANY scenes in shared device batches.
+
+    scene_rows: list of (estimates, sc, table_pose, depth_clean) tuples, one
+    per scene (the per-scene inputs mcts_select takes). All S searches run
+    concurrently through one MultiSceneLeafEvaluator - pending leaves from
+    every still-running tree share each device dispatch, and the final
+    chosen-assignment settles of all scenes run as one batch.
+
+    Returns the per-scene refined estimates lists, in input order.
+    """
+    live = [(i, row) for i, row in enumerate(scene_rows) if len(row[0]) > 0]
+    out: List[list] = [row[0] for row in scene_rows]
+    if not live:
+        return out
+
+    evaluators = []
+    hyp_scores_list = []
+    for _, (estimates, sc, table_pose, depth_clean) in live:
+        hyp_world, hyp_scores, obj_hulls = _scene_search_inputs(
+            estimates, sc, db, cfg
+        )
+        evaluators.append(
+            BatchedLeafEvaluator(
+                obj_hulls, hyp_world, np.asarray(depth_clean), sc.intrinsics,
+                sc.cam_pose, table_pose, cfg,
             )
+        )
+        hyp_scores_list.append(hyp_scores)
+
+    msev = MultiSceneLeafEvaluator(evaluators)
+    results = uct_search_multi(msev, hyp_scores_list, cfg, seed=seed)
+
+    # Final pass: settle every scene's chosen assignment in one dispatch.
+    s = len(live)
+    scene_idx = np.arange(s)
+    choices = np.full((s, msev.k_max), -1, np.int64)
+    active = np.zeros((s, msev.k_max), bool)
+    for si, (assign, _cost) in enumerate(results):
+        choices[si, : len(assign)] = assign
+        active[si, : len(assign)] = True
+    _, settled = msev.evaluate(scene_idx, choices, active)
+
+    for si, (orig_i, (estimates, sc, _tp, _dc)) in enumerate(live):
+        assign, _cost = results[si]
+        out[orig_i] = _install_assignment(
+            estimates, assign, settled[si, : len(estimates)],
+            jnp.asarray(sc.cam_pose),
         )
     return out

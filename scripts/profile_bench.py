@@ -80,14 +80,6 @@ def main():
             seg_prob, seg_mask, weighted=True, h_chunk=64,
         )
         print(f"fine LCP xla       : {t_xla*1e3:9.1f} ms")
-        try:
-            t_wide = timeit(
-                lcp.lcp_scores_pallas, top_tfs, model_v, nrm_v, seg, seg_nrm,
-                seg_prob, seg_mask, weighted=True, wide=True,
-            )
-            print(f"fine LCP wide      : {t_wide*1e3:9.1f} ms")
-        except Exception as e:
-            print(f"fine LCP wide      : FAILED ({type(e).__name__}: {str(e)[:120]})")
 
 
 if __name__ == "__main__":

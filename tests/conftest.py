@@ -26,7 +26,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# PPG_TEST_PLATFORM=tpu leaves the default (axon TPU) backend in place so the
+# TPU-gated regression tests (tests/test_tpu_bf16.py) can run on the chip:
+#   PPG_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_bf16.py -q
+# Everything else (and CI) runs on the CPU backend with 8 virtual devices.
+_PLATFORM = os.environ.get("PPG_TEST_PLATFORM", "cpu")
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 import numpy as np  # noqa: E402
@@ -39,4 +45,5 @@ def rng():
 
 
 def pytest_sessionstart(session):
-    assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+    if _PLATFORM == "cpu":
+        assert jax.default_backend() == "cpu", "tests must run on the CPU backend"

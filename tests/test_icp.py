@@ -162,3 +162,64 @@ def test_nn_refresh_reuse_converges(rng):
     a = model @ reuse[:3, :3].T + reuse[:3, 3]
     b = model @ full[:3, :3].T + full[:3, 3]
     assert np.mean(np.linalg.norm(a - b, axis=1)) < 0.002
+
+
+def test_segside_icp_interpret_matches_xla(rng):
+    # The segment-stationary Pallas kernel (design note in
+    # _icp_corr_kernel_segside): interpreter mode on CPU vs the XLA path.
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    model, mnrm, seg, true_pose, init = make_case(rng, n_model=128, n_seg=96,
+                                                  perturb_deg=5, perturb_t=0.01)
+    # A second, worse initialization exercises the batch dimension.
+    init2 = init.copy()
+    init2[:3, 3] += [0.008, -0.006, 0.004]
+    inits = jnp.asarray(np.stack([init, init2]))
+    mask = np.ones(len(seg), bool)
+    mask[-5:] = False
+    want = np.asarray(
+        icp.refine_icp(
+            inits, jnp.asarray(model), jnp.asarray(mnrm),
+            jnp.asarray(seg), jnp.asarray(mask), iters=8, point_to_plane=True,
+        )
+    )
+    orig_call = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig_call, interpret=True)):
+        got = np.asarray(
+            icp.refine_icp_pallas_segside.__wrapped__(
+                inits, jnp.asarray(model), jnp.asarray(mnrm),
+                jnp.asarray(seg), jnp.asarray(mask), iters=8,
+            )
+        )
+    for g, w in zip(got, want):
+        a = model @ g[:3, :3].T + g[:3, 3]
+        b = model @ w[:3, :3].T + w[:3, 3]
+        assert np.mean(np.linalg.norm(a - b, axis=1)) < 1e-3
+        assert check_alignment(g, true_pose, model, tol=0.004)
+
+
+def test_segside_icp_survives_clutter(rng):
+    # Welsch weighting must keep the segment-stationary kernel convergent
+    # with a cluttered segment (the bench clutter workload's property).
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    model, mnrm, seg, true_pose, init = make_case(rng, n_model=128, n_seg=96,
+                                                  perturb_deg=4, perturb_t=0.008)
+    clutter = rng.uniform(-0.3, 0.3, size=(32, 3)).astype(np.float32) + true_pose[:3, 3]
+    seg_all = np.concatenate([seg, clutter])
+    mask = np.ones(len(seg_all), bool)
+    orig_call = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig_call, interpret=True)):
+        got = np.asarray(
+            icp.refine_icp_pallas_segside.__wrapped__(
+                jnp.asarray(init)[None], jnp.asarray(model), jnp.asarray(mnrm),
+                jnp.asarray(seg_all), jnp.asarray(mask), iters=10,
+            )
+        )[0]
+    assert check_alignment(got, true_pose, model, tol=0.004)

@@ -128,3 +128,40 @@ def test_uct_search_picks_matching_hypothesis(setup):
     hyp_scores = np.array([[0.9, 0.5, 0.8]], np.float32)
     assign, best_cost = mcts.uct_search(ev, hyp_scores, cfg, seed=0, max_iterations=10)
     assert assign[0] == 1
+
+
+def test_multi_scene_search_matches_single(setup):
+    # Two copies of the decoy scene with the true pose at different choice
+    # slots: the shared-dispatch multi-scene search must recover both, and
+    # agree with the single-scene search result.
+    cfg, obj, obs, true_pose, table_pose, cam_pose = setup
+    decoy = true_pose.copy()
+    decoy[:3, 3] = [0.07, 0.05, 0.89]
+    decoy2 = true_pose.copy()
+    decoy2[:3, 3] = [-0.06, 0.03, 0.95]
+
+    hyps_a = np.stack([decoy, true_pose, decoy2])[None]  # truth at slot 1
+    hyps_b = np.stack([true_pose, decoy2, decoy])[None]  # truth at slot 0
+    ev_a = mcts.BatchedLeafEvaluator(
+        [obj], hyps_a, obs, K_INTR, cam_pose, table_pose, cfg, render_scale=1
+    )
+    ev_b = mcts.BatchedLeafEvaluator(
+        [obj], hyps_b, obs, K_INTR, cam_pose, table_pose, cfg, render_scale=1
+    )
+    msev = mcts.MultiSceneLeafEvaluator([ev_a, ev_b])
+    scores_a = np.array([[0.9, 0.5, 0.8]], np.float32)
+    scores_b = np.array([[0.5, 0.8, 0.9]], np.float32)
+    results = mcts.uct_search_multi(
+        msev, [scores_a, scores_b], cfg, seed=0, max_iterations=10
+    )
+    assert results[0][0][0] == 1
+    assert results[1][0][0] == 0
+    # And the shared-batch evaluator agrees with the per-scene one.
+    costs_multi, settled_multi = msev.evaluate(
+        np.array([0, 1]), np.array([[1], [0]]), np.ones((2, 1), bool)
+    )
+    costs_a, settled_a = ev_a.evaluate(np.array([[1]]), np.ones((1, 1), bool))
+    np.testing.assert_allclose(costs_multi[0], costs_a[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        settled_multi[0, 0], settled_a[0, 0], rtol=1e-5, atol=1e-5
+    )
