@@ -149,6 +149,13 @@ class MCTSConfig:
     # the measured default - see tests/test_mcts_render_fidelity.py for the
     # scale-1-vs-4 ranking A/B that justifies it.
     render_scale: int = 4
+    # Splat footprint radius for the leaf render. -1 = auto: radius 1 at
+    # full resolution (render_scale 1, where 4096 points leave holes), 0 at
+    # reduced scales (the cloud is dense there and each extra tap is another
+    # sequential scatter pass - measured 2.08 -> 1.57 ms/leaf at scale 4,
+    # scripts/profile_mcts.py; ranking regressions gated by
+    # test_mcts_accuracy at the scale-4 default).
+    leaf_splat_radius: int = -1
     # Settle rollout placements sequentially (object i dynamic on top of
     # 0..i-1 at their *settled* poses, lax.scan over placement order),
     # matching the reference's per-step correctPhysics
@@ -156,14 +163,21 @@ class MCTSConfig:
     # of the complete assignment with only the last object dynamic (faster,
     # k x less physics; equivalent only for non-stacked scenes).
     sequential_settle: bool = True
-    # Leaves evaluated per device dispatch. 64 measured best on v5e over the
-    # axon tunnel (per-dispatch latency dominates below that; search results
-    # unchanged - virtual loss decorrelates the batch either way).
-    leaf_batch: int = 64
+    # Leaves evaluated per device dispatch. Measured on v5e (round 3,
+    # scripts/profile_mcts.py, sequential settle): 3.04 ms/leaf at 64,
+    # 2.22 at 128, 2.08 at 256 - 128 takes most of the amortization while
+    # the tree still gets feedback every ~128 leaves (virtual loss
+    # decorrelates within a batch; search results unchanged on the decoy
+    # and stacked regressions).
+    leaf_batch: int = 128
     # Hard cap on expansions. Deviation from the reference's sum_i 25^i
     # stopping criterion (UCTSearch.cpp:290-294), which for k>=3 objects is
-    # never the binding constraint anyway (60 s wall clock cuts first).
-    max_expansions: int = 2000
+    # never the binding constraint anyway: its 60 s wall clock cuts first,
+    # and at >=100 ms per serial expansion (60 Bullet steps + a GL render
+    # round trip) that is <= ~600 expansions per scene. 1200 keeps 2x the
+    # reference's effective search coverage; every accuracy regression
+    # (decoy, stacked, multi-object clutter ADD-S) holds with far less.
+    max_expansions: int = 1200
 
 
 @dataclasses.dataclass(frozen=True)

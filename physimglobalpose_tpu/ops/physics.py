@@ -86,19 +86,19 @@ def _integrate_quat(q, omega, dt):
     return q2 / jnp.maximum(jnp.linalg.norm(q2, axis=-1, keepdims=True), 1e-12)
 
 
-def _apply_contact(
+def _contact_deltas(
     pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth, active,
     friction=1.0, restitution=0.0,
 ):
-    """Positional contact resolution at world point pos+r with normal n.
+    """State deltas for one positional contact at world point pos+r, normal n.
 
-    Pushes the body along n by depth (single-body vs static other side).
-    Returns updated (pos, quat, linvel, angvel) with friction damping on the
-    contact-point velocity. Material model (PhySim.cpp:53-79 semantics):
-    restitution e reflects the inward normal velocity to -e*vn (e=0 kills
-    it); friction mu removes min(1, 0.8*mu) of the tangential contact-point
-    velocity per solve (mu=1 reproduces the settle behavior validated against
-    the reference's Bullet envelope; mu=0 is frictionless).
+    Material model (PhySim.cpp:53-79 semantics): restitution e reflects the
+    inward normal velocity to -e*vn (e=0 kills it); friction mu removes
+    min(1, 0.8*mu) of the tangential contact-point velocity per solve (mu=1
+    reproduces the settle behavior validated against the reference's Bullet
+    envelope; mu=0 is frictionless). Returned as additive deltas
+    (dpos, drot_vec, dlinvel, dangvel) so multiple simultaneous contacts of
+    one body can be Jacobi-summed (ops/physics.py substep design note).
     """
     rot = se3.quat_to_matrix(quat)  # [3,3]
     inv_i_world = rot @ jnp.diag(inv_inertia) @ rot.T
@@ -106,9 +106,8 @@ def _apply_contact(
     w = inv_mass + rxn @ inv_i_world @ rxn
     lam = jnp.where(active & (w > 0), depth / jnp.maximum(w, 1e-9), 0.0)
     p = lam * n
-    new_pos = pos + p * inv_mass
-    dw = inv_i_world @ jnp.cross(r, p)
-    new_quat = _integrate_quat(quat, dw, 1.0)
+    dpos = p * inv_mass
+    drot = inv_i_world @ jnp.cross(r, p)
     v_pt = linvel + jnp.cross(angvel, r)
     vn = jnp.dot(v_pt, n)
     v_norm_fix = jnp.where(active & (vn < 0), -(1.0 + restitution) * vn, 0.0) * n
@@ -116,19 +115,41 @@ def _apply_contact(
     tan_coeff = jnp.clip(0.8 * friction, 0.0, 1.0)
     v_tan_fix = jnp.where(active, -tan_coeff * v_tan, jnp.zeros(3))
     dv = v_norm_fix + v_tan_fix
-    new_linvel = linvel + jnp.where(inv_mass > 0, dv, jnp.zeros(3))
     # The 0.5 under-relaxes the angular velocity correction; full-strength
     # coupling makes single-point contact patches ring (solver stabilization
     # constant, not a material parameter).
-    new_angvel = angvel + jnp.where(
-        inv_mass > 0, inv_i_world @ jnp.cross(r, dv) * 0.5, jnp.zeros(3)
+    dangvel = inv_i_world @ jnp.cross(r, dv) * 0.5
+    use = active & (inv_mass > 0)
+    zero = jnp.zeros(3)
+    return (
+        jnp.where(use, dpos, zero),
+        jnp.where(use, drot, zero),
+        jnp.where(use, dv, zero),
+        jnp.where(use, dangvel, zero),
+    )
+
+
+def _apply_contact(
+    pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth, active,
+    friction=1.0, restitution=0.0,
+):
+    """Positional contact resolution: apply one contact's deltas.
+
+    Pushes the body along n by depth (single-body vs static other side);
+    returns updated (pos, quat, linvel, angvel). See _contact_deltas for the
+    material model.
+    """
+    dpos, drot, dlin, dang = _contact_deltas(
+        pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth, active,
+        friction=friction, restitution=restitution,
     )
     use = active & (inv_mass > 0)
+    new_quat = _integrate_quat(quat, drot, 1.0)
     return (
-        jnp.where(use, new_pos, pos),
+        pos + dpos,
         jnp.where(use, new_quat, quat),
-        jnp.where(use, new_linvel, linvel),
-        jnp.where(use, new_angvel, angvel),
+        linvel + dlin,
+        angvel + dang,
     )
 
 
@@ -210,59 +231,63 @@ def settle(
         pos = pos + linvel * h
         quat = _integrate_quat(quat, angvel * h, 1.0)
 
-        # Table contacts for every body. (_apply_contact returns (pos, quat, ...).)
-        def solve_table_fixed(i, st):
-            q_, p_, lv_, av_ = st
-            r, n, depth, act = table_contact(
-                q_[i], p_[i], scene.hull_pts[i], scene.hull_mask[i]
-            )
-            if scene.body_active is not None:
-                act = act & scene.body_active[i]
-            new_pos, new_quat, nlv, nav = _apply_contact(
-                p_[i], q_[i], lv_[i], av_[i],
-                scene.inv_mass[i], scene.inv_inertia[i], r, n, depth, act,
-                friction=friction, restitution=restitution,
-            )
-            return (
-                q_.at[i].set(new_quat),
-                p_.at[i].set(new_pos),
-                lv_.at[i].set(nlv),
-                av_.at[i].set(nav),
-            )
-
-        quat, pos, linvel, angvel = jax.lax.fori_loop(
-            0, k, solve_table_fixed, (quat, pos, linvel, angvel)
+        # Table contacts: each body's correction reads only its own state
+        # (the table is static), so the solve vectorizes over bodies with
+        # EXACTLY the math of a per-body sequential loop - this cuts the
+        # per-substep sequential chain from k to 1 (the chain length, not
+        # the flop count, dominates the vmapped MCTS leaf batch; measured
+        # round 3, scripts/profile_mcts_steps.py).
+        r_t, n_t, depth_t, act_t = jax.vmap(table_contact)(
+            quat, pos, scene.hull_pts, scene.hull_mask
         )
+        if scene.body_active is not None:
+            act_t = act_t & scene.body_active
+        pos, quat, linvel, angvel = jax.vmap(
+            functools.partial(
+                _apply_contact, friction=friction, restitution=restitution
+            )
+        )(pos, quat, linvel, angvel, scene.inv_mass, scene.inv_inertia,
+          r_t, n_t, depth_t, act_t)
 
         # Pairwise contacts: push dynamic body a out of every other body b.
-        def solve_pair(idx, st):
+        # Gauss-Seidel ACROSS bodies (body a sees 0..a-1 already corrected,
+        # as before), Jacobi WITHIN one body's contacts (its corrections
+        # against all colliders are computed from the same state and summed;
+        # identical to the sequential solve whenever a body touches at most
+        # one other - the overwhelmingly common case - and k x shorter
+        # sequential chain otherwise).
+        def solve_pairs_for(a, st):
             q_, p_, lv_, av_ = st
-            a = idx // k
-            b = idx % k
-            r, n, depth, act = body_body_contact(
-                q_[a], p_[a], scene.hull_pts[a], scene.hull_mask[a],
-                q_[b], p_[b], scene.hull_eqs[b],
-            )
-            act = act & (a != b)
-            if scene.body_active is not None:
-                # Inactive bodies must not collide in either role: a's side
-                # is already masked via hull_mask, but b's hull_eqs would
-                # otherwise act as an invisible static collider.
-                act = act & scene.body_active[a] & scene.body_active[b]
-            new_pos, new_quat, nlv, nav = _apply_contact(
-                p_[a], q_[a], lv_[a], av_[a],
-                scene.inv_mass[a], scene.inv_inertia[a], r, n, depth, act,
-                friction=friction, restitution=restitution,
-            )
+
+            def contact_vs(b):
+                r, n, depth, act = body_body_contact(
+                    q_[a], p_[a], scene.hull_pts[a], scene.hull_mask[a],
+                    q_[b], p_[b], scene.hull_eqs[b],
+                )
+                act = act & (a != b)
+                if scene.body_active is not None:
+                    # Inactive bodies must not collide in either role: a's
+                    # side is already masked via hull_mask, but b's hull_eqs
+                    # would otherwise act as an invisible static collider.
+                    act = act & scene.body_active[a] & scene.body_active[b]
+                return _contact_deltas(
+                    p_[a], q_[a], lv_[a], av_[a],
+                    scene.inv_mass[a], scene.inv_inertia[a], r, n, depth, act,
+                    friction=friction, restitution=restitution,
+                )
+
+            dpos, drot, dlin, dang = jax.vmap(contact_vs)(jnp.arange(k))
+            dpos, drot = jnp.sum(dpos, axis=0), jnp.sum(drot, axis=0)
+            dlin, dang = jnp.sum(dlin, axis=0), jnp.sum(dang, axis=0)
             return (
-                q_.at[a].set(new_quat),
-                p_.at[a].set(new_pos),
-                lv_.at[a].set(nlv),
-                av_.at[a].set(nav),
+                q_.at[a].set(_integrate_quat(q_[a], drot, 1.0)),
+                p_.at[a].set(p_[a] + dpos),
+                lv_.at[a].set(lv_[a] + dlin),
+                av_.at[a].set(av_[a] + dang),
             )
 
         quat, pos, linvel, angvel = jax.lax.fori_loop(
-            0, k * k, solve_pair, (quat, pos, linvel, angvel)
+            0, k, solve_pairs_for, (quat, pos, linvel, angvel)
         )
 
         linvel = linvel * damping

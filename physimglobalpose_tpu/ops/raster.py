@@ -97,6 +97,36 @@ def render_objects_batch(
     return jax.vmap(fn)(poses)
 
 
+def render_scene_depth(
+    poses: jnp.ndarray,  # [K, 4, 4] camera-frame object poses
+    model_pts: jnp.ndarray,  # [K, N, 3]
+    model_mask: jnp.ndarray,  # [K, N] bool
+    intrinsics: jnp.ndarray,
+    height: int,
+    width: int,
+    radius: int = 1,
+    max_depth: float = 0.0,
+) -> jnp.ndarray:
+    """Render ALL K objects in ONE scatter pass -> [H, W].
+
+    Exactly equivalent to composite_min over per-object render_object_depth
+    calls (scatter-min is associative), but K x fewer image-buffer passes -
+    the MCTS leaf evaluator's render cost is scatter-bound (measured round
+    3, scripts/profile_mcts.py).
+    """
+    pts = (
+        jnp.einsum("kij,knj->kni", poses[:, :3, :3], model_pts)
+        + poses[:, None, :3, 3]
+    )
+    depth = splat_depth(
+        pts.reshape(-1, 3), model_mask.reshape(-1), intrinsics,
+        height, width, radius,
+    )
+    if max_depth > 0:
+        depth = jnp.where(depth > max_depth, 0.0, depth)
+    return depth
+
+
 def composite_min(depth_a: jnp.ndarray, depth_b: jnp.ndarray) -> jnp.ndarray:
     """Min-composite two depth maps where 0 means empty (UCTState.cpp:62-68)."""
     a_empty = depth_a == 0

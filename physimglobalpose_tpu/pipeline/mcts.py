@@ -55,7 +55,32 @@ class _Node:
         return self.qval / n - alpha * math.sqrt(2 * math.log(max(parent_n, 1)) / n)
 
 
-def _leaf_eval_one(consts, cfg, h, w, choice_row, active_row):
+@functools.partial(jax.jit, static_argnames=("cfg", "h", "w", "radius"))
+def _eval_batch_jit(consts, cfg, h, w, radius, choices, active):
+    """Module-level jitted batch evaluator.
+
+    Top-level (not a per-instance jax.jit of a bound method) so the trace
+    cache is shared across evaluator instances: a dataset sweep or repeated
+    estimate_pose calls with same-shaped scenes retrace nothing - per-scene
+    constants are traced ARGUMENTS, not closure constants.
+    """
+    return jax.vmap(
+        lambda c, a: _leaf_eval_one(consts, cfg, h, w, radius, c, a)
+    )(choices, active)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "h", "w", "radius"))
+def _eval_batch_multi_jit(consts, cfg, h, w, radius, scene_idx, choices, active):
+    """Multi-scene variant: gathers each row's scene constants by index."""
+
+    def row(si, c, a):
+        consts_i = jax.tree.map(lambda x: x[si], consts)
+        return _leaf_eval_one(consts_i, cfg, h, w, radius, c, a)
+
+    return jax.vmap(row)(scene_idx, choices, active)
+
+
+def _leaf_eval_one(consts, cfg, h, w, radius, choice_row, active_row):
     """Evaluate ONE placement assignment: settle -> render -> pixel cost.
 
     consts: per-scene constants dict (hulls, render clouds, world hypotheses,
@@ -123,24 +148,19 @@ def _leaf_eval_one(consts, cfg, h, w, choice_row, active_row):
         inv_mass = jnp.where(is_dynamic, 1.0 / ph.object_mass, 0.0)
         q2, p2 = run_settle(scene_for(inv_mass, active_row), quat, pos)
     settled_w = se3.pose_from_rot_trans(se3.quat_to_matrix(q2), p2)
-    # Render all placed objects in camera frame, composite.
+    # Render all placed objects in camera frame: one scatter pass composites
+    # every object (associative scatter-min == the reference's per-object
+    # min-composite, UCTState.cpp:62-68). The max_depth clamp is the
+    # reference's 1 m render cut (renderScene.cpp:70): objects pushed out of
+    # the workspace render as empty, so their pixels count as unexplained
+    # rather than wrongly-explained.
     settled_cam = jnp.einsum("ij,kjl->kil", consts["cam_pose_inv"], settled_w)
-
-    def render_one(i, buf):
-        d = raster.render_object_depth(
-            settled_cam[i], consts["render_pts"][i],
-            consts["render_mask"][i] & active_row[i],
-            consts["intr"], h, w, radius=1,
-        )
-        return raster.composite_min(buf, d)
-
-    depth = jax.lax.fori_loop(
-        0, k, render_one, jnp.zeros((h, w), jnp.float32)
+    depth = raster.render_scene_depth(
+        settled_cam, consts["render_pts"],
+        consts["render_mask"] & active_row[:, None],
+        consts["intr"], h, w, radius=radius,
+        max_depth=cfg.render.max_render_depth,
     )
-    # Reference zeroes rendered depth beyond 1 m (renderScene.cpp:70):
-    # objects pushed out of the workspace render as empty, so their
-    # pixels count as unexplained rather than wrongly-explained.
-    depth = jnp.where(depth > cfg.render.max_render_depth, 0.0, depth)
     c = cost_mod.render_cost(consts["obs"], depth, cfg.render.explanation_threshold)
     return c, settled_w
 
@@ -205,18 +225,18 @@ class BatchedLeafEvaluator:
         s = render_scale
         self.h = cfg.render.height // s
         self.w = cfg.render.width // s
+        self.splat_radius = (
+            cfg.mcts.leaf_splat_radius
+            if cfg.mcts.leaf_splat_radius >= 0
+            else (1 if s == 1 else 0)
+        )
         intr = intrinsics.copy().astype(np.float32)
         intr[:2] /= s
         self.intr = jnp.asarray(intr)
         obs = obs_depth[:: s, :: s][: self.h, : self.w]
         self.obs = jnp.asarray(obs.astype(np.float32))
 
-        self._eval = jax.jit(self._evaluate_batch)
-
-    def _evaluate_batch(self, choices: jnp.ndarray, active: jnp.ndarray):
-        """choices: [B, K] hypothesis index per object (-1 = not placed);
-        active: [B, K] bool. Returns (costs [B], settled world poses [B, K, 4, 4])."""
-        consts = dict(
+        self.consts = dict(
             **self.scene_const,
             render_pts=self.render_pts,
             render_mask=self.render_mask,
@@ -226,12 +246,23 @@ class BatchedLeafEvaluator:
             intr=self.intr,
             obs=self.obs,
         )
-        return jax.vmap(
-            lambda c, a: _leaf_eval_one(consts, self.cfg, self.h, self.w, c, a)
-        )(choices, active)
+
+    def evaluate_async(self, batch_choices: np.ndarray, batch_active: np.ndarray):
+        """Dispatch without fetching: returns device (costs, settled).
+
+        JAX dispatch is asynchronous - the search controller overlaps host
+        tree policy for the NEXT batch with the device executing this one
+        (uct_search double-buffering; virtual loss keeps the two batches
+        decorrelated)."""
+        return _eval_batch_jit(
+            self.consts, self.cfg, self.h, self.w, self.splat_radius,
+            jnp.asarray(batch_choices), jnp.asarray(batch_active),
+        )
 
     def evaluate(self, batch_choices: np.ndarray, batch_active: np.ndarray):
-        costs, settled = self._eval(jnp.asarray(batch_choices), jnp.asarray(batch_active))
+        """choices: [B, K] hypothesis index per object (-1 = not placed);
+        active: [B, K] bool. Returns (costs [B], settled world poses [B, K, 4, 4])."""
+        costs, settled = self.evaluate_async(batch_choices, batch_active)
         return np.asarray(costs), np.asarray(settled)
 
 
@@ -357,14 +388,27 @@ def uct_search(
     tree = _make_tree(hyp_scores, k, c, budget, seed)
     deadline = time.monotonic() + mc.max_search_seconds
 
-    while not tree.done and time.monotonic() < deadline:
-        pend = _collect_batch(tree, mc.alpha, mc.leaf_batch)
-        if not pend:
+    # Double-buffered loop: collect batch i+1 (host tree policy, virtual
+    # loss decorrelates it from the un-backed-up batch i) while the device
+    # executes batch i; fetch+backup only when the next dispatch is in
+    # flight. Overlaps host work and the dispatch round trip with device
+    # compute (UCTSearch's serial expand->settle->render loop, pipelined).
+    inflight = None  # (pend, device costs)
+    while time.monotonic() < deadline:
+        pend = [] if tree.done else _collect_batch(tree, mc.alpha, mc.leaf_batch)
+        nxt = None
+        if pend:
+            batch_choices = np.stack([p[1] for p in pend])
+            costs_dev, _settled = evaluator.evaluate_async(
+                batch_choices, batch_choices >= 0
+            )
+            nxt = (pend, costs_dev)
+        if inflight is not None:
+            prev_pend, prev_costs = inflight
+            _backup(tree, prev_pend, np.asarray(prev_costs))
+        inflight = nxt
+        if inflight is None:
             break
-        batch_choices = np.stack([p[1] for p in pend])
-        batch_active = batch_choices >= 0
-        costs, _ = evaluator.evaluate(batch_choices, batch_active)
-        _backup(tree, pend, costs)
 
     return tree.best_assign, tree.best_cost
 
@@ -394,6 +438,8 @@ class MultiSceneLeafEvaluator:
         self.ks = [ev.k for ev in evaluators]
         self.k_max = max(self.ks)
         self.num_scenes = len(evaluators)
+        self.splat_radius = evaluators[0].splat_radius
+        assert all(ev.splat_radius == self.splat_radius for ev in evaluators)
 
         k_max = self.k_max
         p_max = max(ev.scene_const["hull_pts"].shape[1] for ev in evaluators)
@@ -445,20 +491,18 @@ class MultiSceneLeafEvaluator:
             consts["intr"].append(np.asarray(ev.intr))
             consts["obs"].append(np.asarray(ev.obs))
         self.consts = {kk: jnp.asarray(np.stack(v)) for kk, v in consts.items()}
-        self._eval = jax.jit(self._evaluate_batch)
 
-    def _evaluate_batch(self, scene_idx, choices, active):
-        def row(si, c, a):
-            consts_i = jax.tree.map(lambda x: x[si], self.consts)
-            return _leaf_eval_one(consts_i, self.cfg, self.h, self.w, c, a)
-
-        return jax.vmap(row)(scene_idx, choices, active)
+    def evaluate_async(self, scene_idx: np.ndarray, choices: np.ndarray,
+                       active: np.ndarray):
+        """Dispatch without fetching (see BatchedLeafEvaluator.evaluate_async)."""
+        return _eval_batch_multi_jit(
+            self.consts, self.cfg, self.h, self.w, self.splat_radius,
+            jnp.asarray(scene_idx), jnp.asarray(choices), jnp.asarray(active),
+        )
 
     def evaluate(self, scene_idx: np.ndarray, choices: np.ndarray,
                  active: np.ndarray):
-        costs, settled = self._eval(
-            jnp.asarray(scene_idx), jnp.asarray(choices), jnp.asarray(active)
-        )
+        costs, settled = self.evaluate_async(scene_idx, choices, active)
         return np.asarray(costs), np.asarray(settled)
 
 
@@ -490,10 +534,10 @@ def uct_search_multi(
     k_max = msev.k_max
     batch = mc.leaf_batch
 
-    while time.monotonic() < deadline:
+    def collect_round():
         live = [si for si, t in enumerate(trees) if not t.done]
         if not live:
-            break
+            return None
         quota = max(1, batch // len(live))
         rows_scene: List[int] = []
         rows_choices: List[np.ndarray] = []
@@ -507,20 +551,33 @@ def uct_search_multi(
                 rows_scene.append(si)
                 rows_choices.append(row)
         if not rows_choices:
-            break
+            return None
         n_real = len(rows_choices)
         pad = (-n_real) % batch  # fixed batch-size multiples -> stable jit shapes
         for _ in range(pad):
             rows_scene.append(rows_scene[0])
             rows_choices.append(rows_choices[0])
-        scene_idx = np.asarray(rows_scene)
         choices_arr = np.stack(rows_choices)
-        active_arr = choices_arr >= 0
-        costs, _ = msev.evaluate(scene_idx, choices_arr, active_arr)
-        ofs = 0
-        for si, pend in pend_per_scene:
-            _backup(trees[si], pend, costs[ofs : ofs + len(pend)])
-            ofs += len(pend)
+        costs_dev, _settled = msev.evaluate_async(
+            np.asarray(rows_scene), choices_arr, choices_arr >= 0
+        )
+        return pend_per_scene, costs_dev
+
+    # Same double-buffered overlap as uct_search: next round's tree policy
+    # runs while the device executes the current one.
+    inflight = None
+    while time.monotonic() < deadline:
+        nxt = collect_round()
+        if inflight is not None:
+            pend_per_scene, costs_dev = inflight
+            costs = np.asarray(costs_dev)
+            ofs = 0
+            for si, pend in pend_per_scene:
+                _backup(trees[si], pend, costs[ofs : ofs + len(pend)])
+                ofs += len(pend)
+        inflight = nxt
+        if inflight is None:
+            break
 
     return [(t.best_assign, t.best_cost) for t in trees]
 

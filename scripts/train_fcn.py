@@ -38,6 +38,8 @@ def main(argv=None):
     # stride-16 atrous variant: objects span 2-8 feature cells at the
     # serving scales; the 32s masks were too blobby (IoU ~0.3).
     p.add_argument("--model", default="AtrousFCN_Vgg16_16s_small")
+    p.add_argument("--domain-random", action="store_true",
+                   help="harder randomized scenes (full-width training)")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     p.add_argument(
         "--out",
@@ -85,17 +87,23 @@ def main(argv=None):
     colors, labels = [], []
     for i in range(args.scenes):
         if i % 3 == 2:
-            c, l, _, _ = synthdata.render_scene(meshes, OBJECTS, rng, intr2, 480, 640)
+            c, l, _, _ = synthdata.render_scene(
+                meshes, OBJECTS, rng, intr2, 480, 640,
+                domain_random=args.domain_random)
         else:
-            c, l, _, _ = synthdata.render_scene(meshes, OBJECTS, rng, intr1, 240, 320)
+            c, l, _, _ = synthdata.render_scene(
+                meshes, OBJECTS, rng, intr1, 240, 320,
+                domain_random=args.domain_random)
         colors.append(c)
         labels.append(l)
     # Held-out scenes for the convergence check (both scales).
     val = [
-        synthdata.render_scene(meshes, OBJECTS, rng, intr1, 240, 320)[:2]
+        synthdata.render_scene(meshes, OBJECTS, rng, intr1, 240, 320,
+                               domain_random=args.domain_random)[:2]
         for _ in range(4)
     ] + [
-        synthdata.render_scene(meshes, OBJECTS, rng, intr2, 480, 640)[:2]
+        synthdata.render_scene(meshes, OBJECTS, rng, intr2, 480, 640,
+                               domain_random=args.domain_random)[:2]
         for _ in range(2)
     ]
 
@@ -141,7 +149,8 @@ def main(argv=None):
         meta={
             "model": args.model,
             "num_classes": NUM_CLASSES,
-            "train": "synthetic (utils/synthdata.py)",
+            "train": "synthetic (utils/synthdata.py)"
+                     + (" domain-randomized" if args.domain_random else ""),
             "steps": args.steps,
             "holdout_miou": miou,
         },

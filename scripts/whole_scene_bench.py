@@ -92,7 +92,10 @@ def main():
         d = os.path.join(tmp, f"s{i}")
         os.symlink(SCENE, d)
         sweep_dirs.append(d)
-    scene_sweep.sweep_scenes(None, sweep_dirs[:1], db, dataset="APC", cfg=CFG)
+    # Warm with the SAME job count (the sweep's device program shape depends
+    # on the number of jobs; warming with 1 scene would leave the n-job
+    # program compiling inside the timed region).
+    scene_sweep.sweep_scenes(None, sweep_dirs, db, dataset="APC", cfg=CFG)
     t0 = time.perf_counter()
     resn = scene_sweep.sweep_scenes(None, sweep_dirs, db, dataset="APC", cfg=CFG)
     dt = time.perf_counter() - t0
@@ -114,6 +117,22 @@ def main():
         t0 = time.perf_counter()
         run_mcts(0)
         out["mcts_seconds_per_scene_warm"] = round(time.perf_counter() - t0, 3)
+
+        # Multi-scene MCTS sweep: all scenes' searches share leaf dispatches
+        # (MultiSceneLeafEvaluator) - the per-scene cost of the search
+        # amortizes across the batch.
+        scene_sweep.sweep_scenes(
+            None, sweep_dirs, db, dataset="APC", cfg=CFG,
+            verification_mode="MCTS",
+        )
+        t0 = time.perf_counter()
+        resm = scene_sweep.sweep_scenes(
+            None, sweep_dirs, db, dataset="APC", cfg=CFG,
+            verification_mode="MCTS",
+        )
+        dt = time.perf_counter() - t0
+        out["mcts_sweep_scenes_per_sec"] = round(n / dt, 3)
+        out["mcts_sweep_seconds_per_scene"] = round(dt / n, 3)
 
     out["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
     print(json.dumps(out, indent=1))
