@@ -40,6 +40,8 @@ def main(argv=None):
     p.add_argument("--model", default="AtrousFCN_Vgg16_16s_small")
     p.add_argument("--domain-random", action="store_true",
                    help="harder randomized scenes (full-width training)")
+    p.add_argument("--save-f16", action="store_true",
+                   help="save weights as float16 (halves large checkpoints)")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     p.add_argument(
         "--out",
@@ -127,14 +129,17 @@ def main(argv=None):
             print(f"step {step:4d} loss {float(loss):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
 
-    # Convergence check: per-class IoU on held-out full scenes.
+    # Convergence check: per-class IoU on held-out full scenes. params is a
+    # traced ARGUMENT (closing over it would embed 0.5 GB of weights as
+    # compile-time constants - the axon remote-compile endpoint rejects the
+    # request with HTTP 413 for the full-width net).
     @jax.jit
-    def infer(img):
-        return jnp.argmax(model.apply({"params": params}, img[None])[0], axis=-1)
+    def infer(p, img):
+        return jnp.argmax(model.apply({"params": p}, img[None])[0], axis=-1)
 
     ious = []
     for c_img, l_img in val:
-        pred = np.asarray(infer(jnp.asarray(c_img.astype(np.float32) / 255.0)))
+        pred = np.asarray(infer(params, jnp.asarray(c_img.astype(np.float32) / 255.0)))
         for cid in set(np.unique(l_img)) - {0}:
             inter = ((pred == cid) & (l_img == cid)).sum()
             union = ((pred == cid) | (l_img == cid)).sum()
@@ -144,8 +149,9 @@ def main(argv=None):
     print(f"held-out object mIoU: {miou:.3f} over {len(ious)} instances")
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    import numpy as _np
     fcn.save_params_npz(
-        args.out, params,
+        args.out, params, dtype=_np.float16 if args.save_f16 else None,
         meta={
             "model": args.model,
             "num_classes": NUM_CLASSES,
