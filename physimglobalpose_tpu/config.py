@@ -149,6 +149,18 @@ class MCTSConfig:
     # the measured default - see tests/test_mcts_render_fidelity.py for the
     # scale-1-vs-4 ranking A/B that justifies it.
     render_scale: int = 4
+    # Search-time contact-hull budget: the leaf evaluator re-decimates each
+    # object's convex hull to at most this many vertices (farthest-point
+    # sampled subset, faces recomputed - an inscribed approximation of the
+    # full hull, with faces shifted outward to circumscribe). Contact math
+    # per settle substep scales with vertices x faces, and the full
+    # 64-vertex/96-face hulls are the residual MCTS leaf cost on real
+    # scenes (ROUND3_NOTES.md). 0 (default) disables: measured round 3,
+    # the clutter ADD-S regression for the cylindrical can sits ~2 cm and
+    # ANY contact perturbation (16/24/32 vertices -> 2.45/2.04/2.52 cm,
+    # non-monotonic) tips it over the 2 cm gate - so hull decimation ships
+    # as an opt-in latency lever, not the default.
+    contact_hull_vertices: int = 0
     # Splat footprint radius for the leaf render. -1 = auto: radius 1 at
     # full resolution (render_scale 1, where 4096 points leave holes), 0 at
     # reduced scales (the cloud is dense there and each extra tap is another

@@ -165,6 +165,40 @@ def _leaf_eval_one(consts, cfg, h, w, radius, choice_row, active_row):
     return c, settled_w
 
 
+def _decimate_contact_hull(h: dict, max_vertices: int) -> dict:
+    """Search-time contact hull: farthest-point-sampled vertex subset with
+    recomputed faces (an inscribed approximation; cfg.mcts.contact_hull_vertices).
+
+    Contact math per settle substep scales with vertices x faces
+    (ops/physics.py table/body contacts), so the full asset hulls
+    (64 verts / 96 faces) dominate the leaf cost on real scenes.
+    """
+    from physimglobalpose_tpu.models import assets
+
+    pts = np.asarray(h["hull_pts"])[np.asarray(h["hull_mask"])]
+    if len(pts) <= max_vertices:
+        return h
+    dec = assets.convex_hull_points(pts, max_vertices)
+    eqs = assets.convex_hull_planes(dec, max_faces=2 * max_vertices)
+    # The FPS subset's hull is inscribed in the true hull; resting an
+    # inscribed cylinder bottom on the table biased rest poses low enough to
+    # trip the 2 cm ADD-S gate (measured round 3). Shift every face plane
+    # outward by its maximum overhang over the ORIGINAL vertices so the
+    # decimated hull circumscribes the object (the same role as Bullet's
+    # convex collision margin) - face-contact rest heights then match the
+    # full hull.
+    overhang = np.maximum(
+        (pts @ eqs[:, :3].T + eqs[:, 3][None, :]).max(axis=0), 0.0
+    )
+    eqs = eqs.copy()
+    eqs[:, 3] -= overhang
+    out = dict(h)
+    out["hull_pts"] = dec
+    out["hull_mask"] = np.ones(len(dec), bool)
+    out["hull_eqs"] = eqs.astype(np.float32)
+    return out
+
+
 class BatchedLeafEvaluator:
     """Evaluates B candidate placements (settle + render + cost) on device."""
 
@@ -186,6 +220,9 @@ class BatchedLeafEvaluator:
         self.k = k
         self.num_hyp = hypotheses_world.shape[1]
         ph = cfg.physics
+        cv = cfg.mcts.contact_hull_vertices
+        if cv > 0:
+            obj_hulls = [_decimate_contact_hull(h, cv) for h in obj_hulls]
         p_max = max(h["hull_pts"].shape[0] for h in obj_hulls)
         f_max = max(h["hull_eqs"].shape[0] for h in obj_hulls)
         n_max = max(h["render_pts"].shape[0] for h in obj_hulls)
