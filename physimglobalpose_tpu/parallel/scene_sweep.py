@@ -100,6 +100,107 @@ def prepare_scene(
     )
 
 
+def prepare_scenes(
+    scene_dirs: Sequence[str],
+    db: ObjectDB,
+    dataset: str = "APC",
+    segmentation_mode: str = "GT",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+    nn_predictor=None,
+    detector=None,
+) -> List[_SceneJobs]:
+    """Batched preprocessing of MANY scenes: one device program per stage.
+
+    The serial prepare_scene pays a ~31 ms dispatch round trip per jitted
+    call per scene (remove_table) and per object (compute_3d_segment) -
+    host preprocessing dominated the sweep (WHOLE_SCENE_BENCH.json round 3).
+    Here all scenes' table removals run as ONE vmapped program and all
+    (scene, object) segments as another. The per-scene PRNG key flow is
+    identical to prepare_scene (same seed for every scene), so results match
+    the serial path bit-for-bit modulo float reassociation
+    (tests/test_scene_sweep.py::test_batched_prepare_matches_serial).
+    """
+    if not scene_dirs:
+        return []
+    # NOTE: scene loads stay serial on purpose. load_scene dispatches jax
+    # ops (pose conversions), and concurrent jax dispatch from a thread pool
+    # deadlocks on a futex on the axon backend (measured round 3 - the
+    # process hung in its first minute). The jitted stages below batch
+    # across scenes, which is where the dispatch overhead actually was.
+    scs = [scene_mod.load_scene(sd, dataset=dataset) for sd in scene_dirs]
+    shape0 = scs[0].depth.shape
+    assert all(sc.depth.shape == shape0 for sc in scs), "mixed depth sizes"
+
+    # Per-scene keys: the exact derivation prepare_scene performs.
+    k_tables, seg_keys_per_scene, gen_keys_per_scene = [], [], []
+    for sc in scs:
+        key = jax.random.key(seed)
+        k_table, key = jax.random.split(key)
+        k_tables.append(k_table)
+        k_batch, key = jax.random.split(key)
+        seg_keys = jax.random.split(k_batch, len(sc.object_names) + 1)
+        seg_keys_per_scene.append(seg_keys)
+        gen_keys_per_scene.append(jax.random.split(seg_keys[-1], len(sc.object_names)))
+
+    depths = jnp.stack([jnp.asarray(sc.depth) for sc in scs])
+    intrs = jnp.stack([jnp.asarray(sc.intrinsics) for sc in scs])
+    kt = jnp.stack(k_tables)
+    depth_clean_b, _planes, table_poses = jax.vmap(
+        lambda d, i, k: scene_mod.remove_table(d, i, k, cfg)
+    )(depths, intrs, kt)
+
+    # Host-side probability images, then every (scene, object) segment in
+    # one vmapped program.
+    job_scene: List[int] = []
+    job_prob: List[np.ndarray] = []
+    job_keys = []
+    for si, sc in enumerate(scs):
+        class_ids = [db.class_of(n) for n in sc.object_names]
+        prob_images = segmentation.build_prob_images(
+            segmentation_mode,
+            class_ids,
+            class_mask=sc.class_mask,
+            nn_predictor=nn_predictor,
+            color=sc.color,
+            detector=detector,
+            threshold=cfg.preprocess.background_prob,
+        )
+        for oi, o in enumerate(sc.object_names):
+            job_scene.append(si)
+            job_prob.append(np.asarray(prob_images[db.class_of(o)]))
+            job_keys.append(seg_keys_per_scene[si][oi])
+    sidx = jnp.asarray(np.asarray(job_scene))
+    probs = jnp.asarray(np.stack(job_prob))
+    jkeys = jnp.stack(job_keys)
+    segs_all = jax.vmap(
+        lambda si, p, k: segmentation.compute_3d_segment(
+            depth_clean_b[si], p, intrs[si], k, cfg
+        )
+    )(sidx, probs, jkeys)
+
+    out: List[_SceneJobs] = []
+    ofs = 0
+    depth_clean_np = np.asarray(depth_clean_b)
+    table_poses_np = np.asarray(table_poses)
+    for si, sc in enumerate(scs):
+        k = len(sc.object_names)
+        segs = jax.tree.map(lambda x: x[ofs : ofs + k], segs_all)
+        ofs += k
+        out.append(
+            _SceneJobs(
+                scene_dir=scene_dirs[si],
+                sc=sc,
+                names=list(sc.object_names),
+                segs=segs,
+                gen_keys=np.asarray(jax.random.key_data(gen_keys_per_scene[si])),
+                table_pose=table_poses_np[si],
+                depth_clean=depth_clean_np[si],
+            )
+        )
+    return out
+
+
 def _job_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     spec = [None] * ndim
     spec[0] = ("data", "model")
@@ -139,13 +240,10 @@ def sweep_scenes(
         raise ValueError(f"unsupported sweep hypothesis mode {hypothesis_mode!r}")
 
     t0 = time.perf_counter()
-    prepared = [
-        prepare_scene(
-            sd, db, dataset=dataset, segmentation_mode=segmentation_mode,
-            cfg=cfg, seed=seed, nn_predictor=nn_predictor, detector=detector,
-        )
-        for sd in scene_dirs
-    ]
+    prepared = prepare_scenes(
+        scene_dirs, db, dataset=dataset, segmentation_mode=segmentation_mode,
+        cfg=cfg, seed=seed, nn_predictor=nn_predictor, detector=detector,
+    )
     prep_s = time.perf_counter() - t0
 
     # Flatten (scene, object) jobs.

@@ -83,3 +83,24 @@ def test_evaluate_scenes_sharded_logs(db, mesh8, tmp_path):
         verification_mode="LCP", cfg=SMALL_CFG, seed=0, mesh=mesh8,
     )
     assert agg2["scenes"] == 1.0
+
+
+def test_batched_prepare_matches_serial(db):
+    # prepare_scenes (one vmapped program per stage) must reproduce the
+    # serial prepare_scene exactly: same per-scene key flow, so table pose,
+    # cleaned depth, segment clouds, and generation keys all agree.
+    import jax.numpy as jnp
+
+    serial = scene_sweep.prepare_scene(SCENE, db, cfg=SMALL_CFG, seed=0)
+    batched = scene_sweep.prepare_scenes([SCENE], db, cfg=SMALL_CFG, seed=0)[0]
+    np.testing.assert_array_equal(serial.gen_keys, batched.gen_keys)
+    np.testing.assert_allclose(
+        np.asarray(serial.table_pose), batched.table_pose, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(serial.depth_clean), batched.depth_clean, atol=1e-5
+    )
+    for field in ("pts", "nrm", "prob", "mask"):
+        a = np.asarray(getattr(serial.segs, field))
+        b = np.asarray(getattr(batched.segs, field))
+        np.testing.assert_allclose(a, b, atol=1e-5)
