@@ -324,6 +324,28 @@ def estimate_pose(
             dbg.hypotheses(est.name, est.hypotheses, est.hypothesis_scores)
             dbg.info(est.name, {"score": est.score,
                                 "pose_world": est.pose_world.tolist()})
+        if verification_mode in ("MCTS", "GREEDY") and estimates:
+            # Quality render of the FINAL chosen assignment: full-resolution
+            # triangle rasterization of the actual meshes (the search-time
+            # leaf cost uses the fast point-splat path at render_scale; this
+            # is the reference-grade mesh render, depth_sim parity -
+            # camera.cpp:31, renderScene.cpp:45-71).
+            from physimglobalpose_tpu.models import assets as assets_mod
+            from physimglobalpose_tpu.ops import raster as raster_mod
+            from physimglobalpose_tpu.ops import raster_tri
+
+            final = jnp.zeros((cfg.render.height, cfg.render.width), jnp.float32)
+            for est in estimates:
+                mesh = assets_mod.decimate_to_max_faces(db[est.name].mesh, 3000)
+                d = raster_tri.render_mesh_depth(
+                    jnp.asarray(est.pose_cam.astype(np.float32)),
+                    jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
+                    jnp.ones(len(mesh.faces), bool), intr,
+                    cfg.render.height, cfg.render.width,
+                )
+                final = raster_mod.composite_min(final, d)
+            final = jnp.where(final > cfg.render.max_render_depth, 0.0, final)
+            dbg.depth("final_assignment_mesh_render", np.asarray(final))
         dbg.overlay(
             "final_overlay", sc.color, sc.intrinsics,
             [db[e.name].validation_pts[:1024] for e in estimates],

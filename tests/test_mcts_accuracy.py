@@ -115,14 +115,19 @@ def clutter_scene(db, tmp_path_factory):
     return sd, gt_world
 
 
-def test_mcts_clutter_scene_accuracy(db, clutter_scene):
+def test_mcts_clutter_scene_accuracy(db, clutter_scene, tmp_path):
     sd, gt_world = clutter_scene
+    dbg_dir = str(tmp_path / "dbg")
     result = api.estimate_pose(
         sd, db, dataset="APC", segmentation_mode="GT",
         hypothesis_mode="PCS", verification_mode="MCTS",
-        cfg=CFG, seed=0, write_result=False,
+        cfg=CFG, seed=0, write_result=False, debug_dir=dbg_dir,
     )
     assert len(result.objects) == 3
+    # The final chosen assignment gets a reference-grade triangle-mesh
+    # render in the debug dump (depth_sim parity; VERDICT r2 Next #4).
+    mesh_render = os.path.join(dbg_dir, "final_assignment_mesh_render.png")
+    assert os.path.exists(mesh_render)
     for est in result.objects:
         obj = db[est.name]
         adds = float(
