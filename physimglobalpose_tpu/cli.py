@@ -24,6 +24,9 @@ def main(argv=None):
                         "(CAMSceneCfg analogue; any RGB-D source can write one)")
     p.add_argument("--scene", required=True,
                    help="scene directory (frame-000000.*), or .npz for CAM")
+    p.add_argument("--fcn-variant", default="small", choices=["small", "full"],
+                   help="shipped FCN checkpoint for FCN/FCNThreshold modes: "
+                        "small (2.1M, fast) or full (134M AtrousFCN_Vgg16_16s)")
     p.add_argument("--segmentation", default="GT",
                    choices=["GT", "FCN", "FCNThreshold", "RCNN", "RCNNThreshold"])
     p.add_argument("--hypothesis", default="PCS", choices=["PCS", "SUPER4PCS", "V4PCS", "PPF_VOTING"])
@@ -102,6 +105,7 @@ def main(argv=None):
             result_path=args.result,
             debug_dir=args.debug_dir,
             scene=scene_obj,
+            fcn_variant=args.fcn_variant,
             write_result=args.dataset != "CAM" or args.result is not None,
         )
         if args.repeat > 1:

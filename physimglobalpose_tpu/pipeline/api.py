@@ -80,6 +80,7 @@ def estimate_pose(
     result_path: Optional[str] = None,
     debug_dir: Optional[str] = None,
     scene: Optional["scene_mod.Scene"] = None,
+    fcn_variant: str = "small",
 ) -> PoseEstimationResult:
     """Estimate 6D poses for every object in a scene.
 
@@ -114,9 +115,11 @@ def estimate_pose(
     if segmentation_mode in ("FCN", "FCNThreshold") and nn_predictor is None:
         # No injected predictor: serve the shipped checkpoint (the analogue
         # of the reference node loading apc_weights.hdf5, predict:59).
+        # "small" = 2.1 M-param fast default; "full" = full-width
+        # AtrousFCN_Vgg16_16s (models/fcn.py _SHIPPED_CKPTS).
         from physimglobalpose_tpu.models import fcn as fcn_mod
 
-        nn_predictor = fcn_mod.load_shipped_predictor()
+        nn_predictor = fcn_mod.load_shipped_predictor(variant=fcn_variant)
     if segmentation_mode in ("RCNN", "RCNNThreshold") and detector is None:
         # No injected detector: the shipped FCN doubles as the region scorer
         # (the reference's Faster-RCNN service slot, bin/detect_bbox).
