@@ -155,11 +155,13 @@ class MCTSConfig:
     # full hull, with faces shifted outward to circumscribe). Contact math
     # per settle substep scales with vertices x faces, and the full
     # 64-vertex/96-face hulls are the residual MCTS leaf cost on real
-    # scenes (ROUND3_NOTES.md). 0 (default) disables: measured round 3,
-    # the clutter ADD-S regression for the cylindrical can sits ~2 cm and
-    # ANY contact perturbation (16/24/32 vertices -> 2.45/2.04/2.52 cm,
-    # non-monotonic) tips it over the 2 cm gate - so hull decimation ships
-    # as an opt-in latency lever, not the default.
+    # scenes (ROUND3_NOTES.md). The decimated hulls drive ONLY the search
+    # ranking; the chosen assignment is re-settled with the FULL hulls
+    # (evaluate_final), so reported poses carry no hull approximation.
+    # STILL ships disabled (0): measured round 3, crude hulls degrade the
+    # RANKING itself for cylindrical objects - the clutter regression's can
+    # flips to a 12.5 cm decoy at 24 search-hull vertices even with the
+    # full-hull final settle. Opt-in latency lever for boxy object sets.
     contact_hull_vertices: int = 0
     # Splat footprint radius for the leaf render. -1 = auto: radius 1 at
     # full resolution (render_scale 1, where 4096 points leave holes), 0 at

@@ -220,39 +220,55 @@ class BatchedLeafEvaluator:
         self.k = k
         self.num_hyp = hypotheses_world.shape[1]
         ph = cfg.physics
+
+        def pack_hulls(hull_list):
+            p_max = max(h["hull_pts"].shape[0] for h in hull_list)
+            f_max = max(h["hull_eqs"].shape[0] for h in hull_list)
+            hull_pts = np.zeros((k, p_max, 3), np.float32)
+            hull_mask = np.zeros((k, p_max), bool)
+            hull_eqs = np.tile(np.array([0, 0, 1, -1e9], np.float32), (k, f_max, 1))
+            inv_inertia = np.zeros((k, 3), np.float32)
+            for i, h in enumerate(hull_list):
+                hp = h["hull_pts"]
+                hull_pts[i, : len(hp)] = hp
+                hull_mask[i, : len(hp)] = h["hull_mask"][: len(hp)]
+                he = h["hull_eqs"]
+                hull_eqs[i, : len(he)] = he
+                inv_inertia[i] = np.asarray(
+                    physics.box_inv_inertia(
+                        jnp.asarray(hull_pts[i]), jnp.asarray(hull_mask[i]),
+                        ph.object_mass,
+                    )
+                )
+            return dict(
+                hull_pts=jnp.asarray(hull_pts),
+                hull_mask=jnp.asarray(hull_mask),
+                hull_eqs=jnp.asarray(hull_eqs),
+                inv_inertia=jnp.asarray(inv_inertia),
+            )
+
+        # Search-time hulls: decimated (cfg.mcts.contact_hull_vertices) -
+        # contact math dominates the leaf cost on real scenes. The FULL
+        # hulls are kept alongside: evaluate_final() settles the chosen
+        # assignment with them, so the REPORTED poses never carry the
+        # decimation approximation (only the search ranking does).
         cv = cfg.mcts.contact_hull_vertices
-        if cv > 0:
-            obj_hulls = [_decimate_contact_hull(h, cv) for h in obj_hulls]
-        p_max = max(h["hull_pts"].shape[0] for h in obj_hulls)
-        f_max = max(h["hull_eqs"].shape[0] for h in obj_hulls)
+        search_hulls = (
+            [_decimate_contact_hull(h, cv) for h in obj_hulls] if cv > 0
+            else obj_hulls
+        )
+        self.scene_const = pack_hulls(search_hulls)
+        self.scene_const_full = (
+            pack_hulls(obj_hulls) if search_hulls is not obj_hulls else None
+        )
+
         n_max = max(h["render_pts"].shape[0] for h in obj_hulls)
-        hull_pts = np.zeros((k, p_max, 3), np.float32)
-        hull_mask = np.zeros((k, p_max), bool)
-        hull_eqs = np.tile(np.array([0, 0, 1, -1e9], np.float32), (k, f_max, 1))
         render_pts = np.zeros((k, n_max, 3), np.float32)
         render_mask = np.zeros((k, n_max), bool)
-        inv_inertia = np.zeros((k, 3), np.float32)
         for i, h in enumerate(obj_hulls):
-            hp = h["hull_pts"]
-            hull_pts[i, : len(hp)] = hp
-            hull_mask[i, : len(hp)] = h["hull_mask"][: len(hp)]
-            he = h["hull_eqs"]
-            hull_eqs[i, : len(he)] = he
             rp = h["render_pts"]
             render_pts[i, : len(rp)] = rp
             render_mask[i, : len(rp)] = h["render_mask"][: len(rp)]
-            inv_inertia[i] = np.asarray(
-                physics.box_inv_inertia(
-                    jnp.asarray(hull_pts[i]), jnp.asarray(hull_mask[i]), ph.object_mass
-                )
-            )
-
-        self.scene_const = dict(
-            hull_pts=jnp.asarray(hull_pts),
-            hull_mask=jnp.asarray(hull_mask),
-            hull_eqs=jnp.asarray(hull_eqs),
-            inv_inertia=jnp.asarray(inv_inertia),
-        )
         self.render_pts = jnp.asarray(render_pts)
         self.render_mask = jnp.asarray(render_mask)
         self.hyp_world = jnp.asarray(hypotheses_world)
@@ -273,8 +289,7 @@ class BatchedLeafEvaluator:
         obs = obs_depth[:: s, :: s][: self.h, : self.w]
         self.obs = jnp.asarray(obs.astype(np.float32))
 
-        self.consts = dict(
-            **self.scene_const,
+        shared = dict(
             render_pts=self.render_pts,
             render_mask=self.render_mask,
             hyp_world=self.hyp_world,
@@ -282,6 +297,12 @@ class BatchedLeafEvaluator:
             cam_pose_inv=self.cam_pose_inv,
             intr=self.intr,
             obs=self.obs,
+        )
+        self.consts = dict(**self.scene_const, **shared)
+        self.consts_full = (
+            dict(**self.scene_const_full, **shared)
+            if self.scene_const_full is not None
+            else self.consts
         )
 
     def evaluate_async(self, batch_choices: np.ndarray, batch_active: np.ndarray):
@@ -300,6 +321,15 @@ class BatchedLeafEvaluator:
         """choices: [B, K] hypothesis index per object (-1 = not placed);
         active: [B, K] bool. Returns (costs [B], settled world poses [B, K, 4, 4])."""
         costs, settled = self.evaluate_async(batch_choices, batch_active)
+        return np.asarray(costs), np.asarray(settled)
+
+    def evaluate_final(self, batch_choices: np.ndarray, batch_active: np.ndarray):
+        """Chosen-assignment settle with the FULL (undecimated) hulls: the
+        poses the pipeline reports carry no search-time hull approximation."""
+        costs, settled = _eval_batch_jit(
+            self.consts_full, self.cfg, self.h, self.w, self.splat_radius,
+            jnp.asarray(batch_choices), jnp.asarray(batch_active),
+        )
         return np.asarray(costs), np.asarray(settled)
 
 
@@ -479,8 +509,6 @@ class MultiSceneLeafEvaluator:
         assert all(ev.splat_radius == self.splat_radius for ev in evaluators)
 
         k_max = self.k_max
-        p_max = max(ev.scene_const["hull_pts"].shape[1] for ev in evaluators)
-        f_max = max(ev.scene_const["hull_eqs"].shape[1] for ev in evaluators)
         n_max = max(ev.render_pts.shape[1] for ev in evaluators)
         c_max = max(ev.hyp_world.shape[1] for ev in evaluators)
 
@@ -491,43 +519,56 @@ class MultiSceneLeafEvaluator:
             out[sl] = x
             return out
 
-        consts = dict(
-            hull_pts=[], hull_mask=[], hull_eqs=[], inv_inertia=[],
-            render_pts=[], render_mask=[], hyp_world=[], table_pose=[],
-            cam_pose_inv=[], intr=[], obs=[],
-        )
-        for ev in evaluators:
-            k, p = ev.scene_const["hull_pts"].shape[:2]
-            f = ev.scene_const["hull_eqs"].shape[1]
-            n = ev.render_pts.shape[1]
-            c = ev.hyp_world.shape[1]
-            consts["hull_pts"].append(
-                pad_to(ev.scene_const["hull_pts"], (k_max, p_max, 3)))
-            consts["hull_mask"].append(
-                pad_to(ev.scene_const["hull_mask"], (k_max, p_max)))
-            # Padded hull faces/objects use the far-away plane so they never
-            # produce contacts (same convention as BatchedLeafEvaluator).
-            eqs = np.tile(np.array([0, 0, 1, -1e9], np.float32),
-                          (k_max, f_max, 1))
-            eqs[:k, :f] = np.asarray(ev.scene_const["hull_eqs"])
-            consts["hull_eqs"].append(eqs)
-            inv_in = pad_to(ev.scene_const["inv_inertia"], (k_max, 3))
-            inv_in[k:] = 1.0  # benign inertia for padded objects
-            consts["inv_inertia"].append(inv_in)
-            consts["render_pts"].append(pad_to(ev.render_pts, (k_max, n_max, 3)))
-            consts["render_mask"].append(pad_to(ev.render_mask, (k_max, n_max)))
-            # Padded hypothesis slots repeat hypothesis 0; padded objects get
-            # identity poses (never active).
-            hw = np.tile(np.eye(4, dtype=np.float32), (k_max, c_max, 1, 1))
-            hw[:k, :c] = np.asarray(ev.hyp_world)
-            if c < c_max:
-                hw[:k, c:] = hw[:k, :1]
-            consts["hyp_world"].append(hw)
-            consts["table_pose"].append(np.asarray(ev.table_pose))
-            consts["cam_pose_inv"].append(np.asarray(ev.cam_pose_inv))
-            consts["intr"].append(np.asarray(ev.intr))
-            consts["obs"].append(np.asarray(ev.obs))
-        self.consts = {kk: jnp.asarray(np.stack(v)) for kk, v in consts.items()}
+        def stack_consts(scene_consts):
+            """Stack per-scene constants with one hull set (search or full)."""
+            p_max = max(sc_["hull_pts"].shape[1] for sc_ in scene_consts)
+            f_max = max(sc_["hull_eqs"].shape[1] for sc_ in scene_consts)
+            consts = dict(
+                hull_pts=[], hull_mask=[], hull_eqs=[], inv_inertia=[],
+                render_pts=[], render_mask=[], hyp_world=[], table_pose=[],
+                cam_pose_inv=[], intr=[], obs=[],
+            )
+            for ev, sc_ in zip(evaluators, scene_consts):
+                k, p = sc_["hull_pts"].shape[:2]
+                f = sc_["hull_eqs"].shape[1]
+                n = ev.render_pts.shape[1]
+                c = ev.hyp_world.shape[1]
+                consts["hull_pts"].append(
+                    pad_to(sc_["hull_pts"], (k_max, p_max, 3)))
+                consts["hull_mask"].append(
+                    pad_to(sc_["hull_mask"], (k_max, p_max)))
+                # Padded hull faces/objects use the far-away plane so they
+                # never produce contacts (same convention as
+                # BatchedLeafEvaluator).
+                eqs = np.tile(np.array([0, 0, 1, -1e9], np.float32),
+                              (k_max, f_max, 1))
+                eqs[:k, :f] = np.asarray(sc_["hull_eqs"])
+                consts["hull_eqs"].append(eqs)
+                inv_in = pad_to(sc_["inv_inertia"], (k_max, 3))
+                inv_in[k:] = 1.0  # benign inertia for padded objects
+                consts["inv_inertia"].append(inv_in)
+                consts["render_pts"].append(pad_to(ev.render_pts, (k_max, n_max, 3)))
+                consts["render_mask"].append(pad_to(ev.render_mask, (k_max, n_max)))
+                # Padded hypothesis slots repeat hypothesis 0; padded objects
+                # get identity poses (never active).
+                hw = np.tile(np.eye(4, dtype=np.float32), (k_max, c_max, 1, 1))
+                hw[:k, :c] = np.asarray(ev.hyp_world)
+                if c < c_max:
+                    hw[:k, c:] = hw[:k, :1]
+                consts["hyp_world"].append(hw)
+                consts["table_pose"].append(np.asarray(ev.table_pose))
+                consts["cam_pose_inv"].append(np.asarray(ev.cam_pose_inv))
+                consts["intr"].append(np.asarray(ev.intr))
+                consts["obs"].append(np.asarray(ev.obs))
+            return {kk: jnp.asarray(np.stack(v)) for kk, v in consts.items()}
+
+        self.consts = stack_consts([ev.scene_const for ev in evaluators])
+        if any(ev.scene_const_full is not None for ev in evaluators):
+            self.consts_full = stack_consts(
+                [ev.scene_const_full or ev.scene_const for ev in evaluators]
+            )
+        else:
+            self.consts_full = self.consts
 
     def evaluate_async(self, scene_idx: np.ndarray, choices: np.ndarray,
                        active: np.ndarray):
@@ -540,6 +581,16 @@ class MultiSceneLeafEvaluator:
     def evaluate(self, scene_idx: np.ndarray, choices: np.ndarray,
                  active: np.ndarray):
         costs, settled = self.evaluate_async(scene_idx, choices, active)
+        return np.asarray(costs), np.asarray(settled)
+
+    def evaluate_final(self, scene_idx: np.ndarray, choices: np.ndarray,
+                       active: np.ndarray):
+        """Chosen-assignment settles with the FULL hulls (see
+        BatchedLeafEvaluator.evaluate_final)."""
+        costs, settled = _eval_batch_multi_jit(
+            self.consts_full, self.cfg, self.h, self.w, self.splat_radius,
+            jnp.asarray(scene_idx), jnp.asarray(choices), jnp.asarray(active),
+        )
         return np.asarray(costs), np.asarray(settled)
 
 
@@ -701,10 +752,11 @@ def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
 
         save_search_snapshot(snapshot_path, sc.scene_dir, assign, best_cost, seed)
 
-    # Final pass: settle the chosen assignment and read back poses.
+    # Final pass: settle the chosen assignment with the FULL hulls and read
+    # back poses (the search may have used decimated contact hulls).
     choices = assign[None, :]
     active = np.ones((1, k), bool)
-    _, settled = evaluator.evaluate(choices, active)
+    _, settled = evaluator.evaluate_final(choices, active)
     return _install_assignment(estimates, assign, settled[0], jnp.asarray(sc.cam_pose))
 
 
@@ -741,7 +793,8 @@ def mcts_select_multi(scene_rows, db, cfg, seed=0):
     msev = MultiSceneLeafEvaluator(evaluators)
     results = uct_search_multi(msev, hyp_scores_list, cfg, seed=seed)
 
-    # Final pass: settle every scene's chosen assignment in one dispatch.
+    # Final pass: settle every scene's chosen assignment in one dispatch,
+    # with the FULL hulls (the search may have used decimated ones).
     s = len(live)
     scene_idx = np.arange(s)
     choices = np.full((s, msev.k_max), -1, np.int64)
@@ -749,7 +802,7 @@ def mcts_select_multi(scene_rows, db, cfg, seed=0):
     for si, (assign, _cost) in enumerate(results):
         choices[si, : len(assign)] = assign
         active[si, : len(assign)] = True
-    _, settled = msev.evaluate(scene_idx, choices, active)
+    _, settled = msev.evaluate_final(scene_idx, choices, active)
 
     for si, (orig_i, (estimates, sc, _tp, _dc)) in enumerate(live):
         assign, _cost = results[si]
