@@ -6,7 +6,7 @@ Workload (the reference's hottest path, SURVEY.md section 3): H candidate
 poses of a dense model cloud scored against an observed segment, through the
 production scoring pipeline (ops/scoring.py): coarse LCP ranking over all H
 (subsampled validation cloud, bf16 on TPU), batched point-to-plane ICP on
-the top-512 survivors, two-tier full-resolution weighted-LCP rescoring. The reference
+the top-256 survivors, two-tier full-resolution weighted-LCP rescoring. The reference
 does the equivalent serially: per-transform kd-tree NN loops
 (match4pcsBase.cc:1699-1766) inside a 2 s/object budget.
 
@@ -103,13 +103,17 @@ def main():
         # validation subsample (exact-top-64 survival 64/64 on the clutter
         # workload), segment-stationary Pallas ICP (ops/icp.py
         # _icp_corr_kernel_segside) at bf16 with per-iteration
-        # correspondences, top-512 survivors, two-tier fine rescoring (bf16
-        # bulk + exact fp32 top-64; the product consumes top-25 and the
-        # top-1 lands within 0.2 mm of the exact-ICP pipeline winner).
+        # correspondences, two-tier fine rescoring (bf16
+        # bulk + exact fp32 top-64). top_k=256 refine budget: the reference
+        # verifies ~100 hypotheses per object total and the product consumes
+        # the top-25; measured on the clutter workload the exact top-64
+        # survive 64/64 into the coarse top-256 and the top-1 lands within
+        # 0.8 mm of the exact pipeline winner (scripts/r3_topk_experiments.py;
+        # top_k=128 fails survival 46/64 - that is the floor).
         out = scoring.score_refine_pipeline(
             tfs, model_m, nrm_m, model_v, nrm_v,
             seg, seg_nrm, seg_prob, seg_mask,
-            top_k=512, coarse_subsample=16, coarse_seg_stride=2,
+            top_k=256, coarse_subsample=16, coarse_seg_stride=2,
             icp_iters=ICP_ITERS, icp_subsample=2,
             use_pallas=on_tpu,
             coarse_precision="default" if on_tpu else None,
@@ -156,7 +160,7 @@ def main():
             {
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
-                "unit": f"hyp/s (coarse-LCP@256/seg2 -> ICP-{ICP_ITERS}it@512 top-512 -> fine-LCP@4k, H=16384 x{pipe} pipelined, {variant})",
+                "unit": f"hyp/s (coarse-LCP@256/seg2 -> ICP-{ICP_ITERS}it@512 top-256 -> fine-LCP@4k, H=16384 x{pipe} pipelined, {variant})",
                 "vs_baseline": round(hyps_per_sec / baseline_hyps_per_sec(clutter), 2),
             }
         )

@@ -34,6 +34,7 @@ class ScoredHypotheses(NamedTuple):
         "normal_gate_deg", "use_pallas", "icp_nn_refresh",
         "coarse_precision", "fine_precision", "coarse_weighted",
         "fine_exact_k", "icp_precision", "coarse_seg_stride",
+        "icp_seg_stride",
     ),
 )
 def score_refine_pipeline(
@@ -62,6 +63,11 @@ def score_refine_pipeline(
     # NotImplementedError in the Pallas lowering); None = exact f32.
     icp_precision: str | None = None,
     coarse_seg_stride: int = 1,
+    # ICP correspondences from a strided segment subsample: the solve is a
+    # robust least squares over ~1k points, so halving the points halves
+    # the correspondence matmuls with negligible pose effect (gated by the
+    # on-TPU top-1-drift test at the production flags).
+    icp_seg_stride: int = 1,
 ) -> ScoredHypotheses:
     """Score all H hypotheses coarsely, refine + rescore the best top_k."""
     h = transforms.shape[0]
@@ -107,7 +113,9 @@ def score_refine_pipeline(
     top_tfs = transforms[idx]
     icp_pts = model_search_pts[::icp_subsample]
     icp_nrm = model_search_nrm[::icp_subsample]
-    ns_pad = seg_pts.shape[0] + (-seg_pts.shape[0]) % 128
+    i_seg = seg_pts[::icp_seg_stride]
+    i_mask = seg_mask[::icp_seg_stride]
+    ns_pad = i_seg.shape[0] + (-i_seg.shape[0]) % 128
     nm_pad = icp_pts.shape[0] + (-icp_pts.shape[0]) % 128
     pallas_icp = (
         (use_pallas if use_pallas is not None else jax.default_backend() == "tpu")
@@ -115,12 +123,12 @@ def score_refine_pipeline(
     )
     if pallas_icp:
         refined = icp_mod.refine_icp_pallas_segside(
-            top_tfs, icp_pts, icp_nrm, seg_pts, seg_mask,
+            top_tfs, icp_pts, icp_nrm, i_seg, i_mask,
             iters=icp_iters, matmul_precision=icp_precision,
         )
     else:
         refined = icp_mod.refine_icp(
-            top_tfs, icp_pts, icp_nrm, seg_pts, seg_mask,
+            top_tfs, icp_pts, icp_nrm, i_seg, i_mask,
             iters=icp_iters, point_to_plane=True, nn_refresh=icp_nn_refresh,
         )
 

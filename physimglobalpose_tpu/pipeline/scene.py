@@ -22,7 +22,7 @@ import numpy as np
 import yaml
 
 from physimglobalpose_tpu.config import PipelineConfig, DEFAULT_CONFIG
-from physimglobalpose_tpu.geometry import depthio, pointcloud, se3
+from physimglobalpose_tpu.geometry import depthio, pointcloud
 from physimglobalpose_tpu.ops import plane, voxel
 
 
@@ -42,10 +42,27 @@ class Scene:
 
 
 def _pose_from_tq(vals) -> np.ndarray:
-    """gt_info.yml pose format: [x y z qw qx qy qz] (gt_info.yml:1)."""
-    t = np.asarray(vals[:3], np.float32)
-    q = np.asarray(vals[3:7], np.float32)
-    return np.asarray(se3.pose_from_quat_trans(jnp.asarray(q), jnp.asarray(t)))
+    """gt_info.yml pose format: [x y z qw qx qy qz] (gt_info.yml:1).
+
+    Pure numpy (mirrors se3.quat_to_matrix): load_scene runs per scene on the
+    host, and every jax dispatch+fetch here costs a ~31 ms tunnel round trip
+    on the axon backend — several per scene dominated sweep preprocessing.
+    """
+    t = np.asarray(vals[:3], np.float64)
+    q = np.asarray(vals[3:7], np.float64)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.asarray(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        dtype=np.float32,
+    )
+    pose[:3, 3] = t.astype(np.float32)
+    return pose
 
 
 def load_scene(scene_dir: str, dataset: str = "APC", frame: str = "frame-000000") -> Scene:
