@@ -307,6 +307,133 @@ def settle(
     return quat, pos
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "substeps", "dt", "gravity", "damping", "friction", "restitution"),
+)
+def settle_single_dynamic(
+    scene: PhysicsScene,
+    init_quat: jnp.ndarray,  # [K, 4] world
+    init_pos: jnp.ndarray,  # [K, 3] world
+    dyn_idx: jnp.ndarray,  # i32 scalar; -1 = no dynamic body (no-op)
+    steps: int = 60,
+    substeps: int = 2,
+    dt: float = 1.0 / 60.0,
+    gravity: float = -2.0,
+    damping: float = 0.99,
+    friction: float = 1.0,
+    restitution: float = 0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """settle() specialized to EXACTLY ONE dynamic body (index dyn_idx).
+
+    The MCTS leaf evaluator always settles with a single dynamic body (the
+    reference's correctPhysics adds one btRigidBody with mass > 0 per node,
+    UCTState.cpp:208-270); the general solver still pays the full K-body
+    chain per substep - a fori_loop whose k-1 other iterations are exact
+    no-ops (zeroed by inv_mass == 0) - plus [K, P, 3] hull transforms.
+    Since static bodies NEVER move, this version carries only the dynamic
+    body's (quat, pos, linvel, angvel), reads the static poses as loop
+    constants, and scatters the result back once at the end: per-substep
+    sequential chain 2 contact solves instead of k+1, and k x less contact
+    math. Numerically identical to settle() with one inv_mass > 0 body,
+    except static quats skip settle()'s idempotent per-substep
+    renormalization (equivalence gated by tests/test_physics.py).
+    """
+    k = scene.hull_pts.shape[0]
+    g = jnp.array([0.0, 0.0, gravity])
+    h = dt / substeps
+    has = dyn_idx >= 0
+    dyn = jnp.clip(dyn_idx, 0, k - 1)
+
+    inv_mass_d = jnp.where(has, scene.inv_mass[dyn], 0.0)
+    inv_inertia_d = scene.inv_inertia[dyn]
+    hull_d = scene.hull_pts[dyn]
+    mask_d = scene.hull_mask[dyn]
+    active_d = has if scene.body_active is None else has & scene.body_active[dyn]
+
+    t_inv = se3.invert_pose(scene.table_pose)
+    top = scene.table_half_extents[2]
+    foot = scene.table_half_extents[:2]
+
+    def table_contact(quat_i, pos_i):
+        # Same contact-patch model as settle().table_contact.
+        rot = se3.quat_to_matrix(quat_i)
+        world = hull_d @ rot.T + pos_i  # [P, 3]
+        local = world @ t_inv[:3, :3].T + t_inv[:3, 3]
+        in_foot = (jnp.abs(local[:, 0]) <= foot[0]) & (jnp.abs(local[:, 1]) <= foot[1])
+        depth = top - local[:, 2]
+        pen = jnp.where(mask_d & in_foot & (depth > 0) & (depth < 2 * top), depth, 0.0)
+        wsum = jnp.sum(pen)
+        centroid = jnp.sum(world * pen[:, None], axis=0) / jnp.maximum(wsum, 1e-12)
+        n_world = scene.table_pose[:3, :3] @ jnp.array([0.0, 0.0, 1.0])
+        r = centroid - pos_i
+        max_pen = jnp.max(pen)
+        return r, n_world, max_pen, max_pen > 0
+
+    def substep(state):
+        q_d, p_d, lv, av = state
+        lv = lv + jnp.where(inv_mass_d > 0, g * h, jnp.zeros(3))
+        p_d = p_d + lv * h
+        q_d = _integrate_quat(q_d, av * h, 1.0)
+
+        r_t, n_t, depth_t, act_t = table_contact(q_d, p_d)
+        p_d, q_d, lv, av = _apply_contact(
+            p_d, q_d, lv, av, inv_mass_d, inv_inertia_d,
+            r_t, n_t, depth_t, act_t & active_d,
+            friction=friction, restitution=restitution,
+        )
+
+        # Pair contacts vs every STATIC collider b (their poses are the
+        # initial ones - statics never move), Jacobi-summed exactly like
+        # settle()'s within-body solve.
+        def contact_vs(b):
+            # body_body_contact of settle(), inlined against the carried
+            # dynamic state.
+            rot_a = se3.quat_to_matrix(q_d)
+            world_a = hull_d @ rot_a.T + p_d
+            rot_b = se3.quat_to_matrix(init_quat[b])
+            local = (world_a - init_pos[b]) @ rot_b
+            eqs_b = scene.hull_eqs[b]
+            sd = local @ eqs_b[:, :3].T + eqs_b[:, 3][None, :]
+            inside_depth = -jnp.max(sd, axis=1)
+            face = jnp.argmax(sd, axis=1)
+            pen = jnp.where(mask_d & (inside_depth > 0), inside_depth, 0.0)
+            best = jnp.argmax(pen)
+            wsum = jnp.sum(pen)
+            centroid = jnp.sum(world_a * pen[:, None], axis=0) / jnp.maximum(wsum, 1e-12)
+            n_world = rot_b @ eqs_b[face[best], :3]
+            r = centroid - p_d
+            max_pen = jnp.max(pen)
+            act = (max_pen > 0) & (b != dyn) & active_d
+            if scene.body_active is not None:
+                act = act & scene.body_active[b]
+            return _contact_deltas(
+                p_d, q_d, lv, av, inv_mass_d, inv_inertia_d, r, n_world,
+                max_pen, act, friction=friction, restitution=restitution,
+            )
+
+        dpos, drot, dlin, dang = jax.vmap(contact_vs)(jnp.arange(k))
+        q_d = _integrate_quat(q_d, jnp.sum(drot, axis=0), 1.0)
+        p_d = p_d + jnp.sum(dpos, axis=0)
+        lv = lv + jnp.sum(dlin, axis=0)
+        av = av + jnp.sum(dang, axis=0)
+
+        return q_d, p_d, lv * damping, av * damping
+
+    init = (init_quat[dyn], init_pos[dyn], jnp.zeros(3), jnp.zeros(3))
+
+    def step(_, state):
+        return jax.lax.fori_loop(0, substeps, lambda __, s: substep(s), state)
+
+    q_d, p_d, _, _ = jax.lax.fori_loop(0, steps, step, init)
+    # Matches settle(): any inv_mass > 0 body integrates (gravity applies
+    # even when body_active masks its contacts); statics never move.
+    moved = has & (inv_mass_d > 0)
+    quat = init_quat.at[dyn].set(jnp.where(moved, q_d, init_quat[dyn]))
+    pos = init_pos.at[dyn].set(jnp.where(moved, p_d, init_pos[dyn]))
+    return quat, pos
+
+
 def settle_batch(scene: PhysicsScene, init_quat: jnp.ndarray, init_pos: jnp.ndarray, **kw):
     """vmap over a leading batch dim of initial poses: [B, K, 4], [B, K, 3]."""
     return jax.vmap(lambda q, p: settle(scene, q, p, **kw))(init_quat, init_pos)

@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from physimglobalpose_tpu.config import PipelineConfig, DEFAULT_CONFIG
-from physimglobalpose_tpu.geometry import se3
+from physimglobalpose_tpu.geometry import depthio, se3
 from physimglobalpose_tpu.models.objectdb import ObjectDB
 from physimglobalpose_tpu.ops import icp as icp_mod
 from physimglobalpose_tpu.pipeline import hypothesis, scene as scene_mod, segmentation
@@ -44,7 +44,11 @@ class _SceneJobs:
     segs: object  # Segment3D stacked [K, ...]
     gen_keys: np.ndarray  # [K, 2] raw key data (jax.random.key_data)
     table_pose: np.ndarray
-    depth_clean: np.ndarray  # [H, W] table-removed depth (MCTS leaf obs)
+    # [H, W] table-removed depth (MCTS leaf obs). May be a device array when
+    # prepared with fetch_depth=False (LCP sweeps never read it; fetching
+    # 8x640x480 f32 through the ~20 MB/s axon tunnel cost ~0.24 s/batch);
+    # every consumer np.asarray()s it.
+    depth_clean: np.ndarray
 
 
 def prepare_scene(
@@ -109,6 +113,7 @@ def prepare_scenes(
     seed: int = 0,
     nn_predictor=None,
     detector=None,
+    fetch_depth: bool = True,
 ) -> List[_SceneJobs]:
     """Batched preprocessing of MANY scenes: one device program per stage.
 
@@ -120,15 +125,23 @@ def prepare_scenes(
     identical to prepare_scene (same seed for every scene), so results match
     the serial path bit-for-bit modulo float reassociation
     (tests/test_scene_sweep.py::test_batched_prepare_matches_serial).
+
+    Host<->device traffic is minimized for the axon tunnel (~20 MB/s, ~31 ms
+    per round trip - profiled in /tmp-style scripts, see ROUND3_NOTES):
+    depth uploads as uint16 codec values decoded on device when exact, GT
+    probability images are built ON DEVICE from a small integer class-mask
+    upload instead of shipping [jobs, H, W] f32 masks, and the cleaned depth
+    stays on device unless fetch_depth=True (only MCTS consumes it).
     """
     if not scene_dirs:
         return []
-    # NOTE: scene loads stay serial on purpose. load_scene dispatches jax
-    # ops (pose conversions), and concurrent jax dispatch from a thread pool
-    # deadlocks on a futex on the axon backend (measured round 3 - the
-    # process hung in its first minute). The jitted stages below batch
-    # across scenes, which is where the dispatch overhead actually was.
-    scs = [scene_mod.load_scene(sd, dataset=dataset) for sd in scene_dirs]
+    # load_scene is pure host work (PIL PNG decode + yaml + numpy): thread
+    # it. (jax must NOT be dispatched from worker threads - that deadlocks
+    # the axon backend on a futex - but no jax is involved here anymore.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(scene_dirs))) as pool:
+        scs = list(pool.map(lambda sd: scene_mod.load_scene(sd, dataset=dataset), scene_dirs))
     shape0 = scs[0].depth.shape
     assert all(sc.depth.shape == shape0 for sc in scs), "mixed depth sizes"
 
@@ -143,45 +156,87 @@ def prepare_scenes(
         seg_keys_per_scene.append(seg_keys)
         gen_keys_per_scene.append(jax.random.split(seg_keys[-1], len(sc.object_names)))
 
-    depths = jnp.stack([jnp.asarray(sc.depth) for sc in scs])
+    # Depth upload: the codec values are uint16 (depth = raw / 10000, see
+    # geometry/depthio.py), so when the floats reconstruct exactly - always,
+    # for PNG-loaded scenes - ship 2 bytes/px and decode on device.
+    depth_np = np.stack([sc.depth for sc in scs])
+    raw16 = np.round(depth_np * depthio.DEPTH_SCALE)
+    if np.array_equal(
+        raw16.astype(np.uint16).astype(np.float32) / depthio.DEPTH_SCALE, depth_np
+    ):
+        depths = jnp.asarray(raw16.astype(np.uint16)).astype(jnp.float32) / depthio.DEPTH_SCALE
+    else:
+        depths = jnp.asarray(depth_np)
     intrs = jnp.stack([jnp.asarray(sc.intrinsics) for sc in scs])
     kt = jnp.stack(k_tables)
     depth_clean_b, _planes, table_poses = jax.vmap(
         lambda d, i, k: scene_mod.remove_table(d, i, k, cfg)
     )(depths, intrs, kt)
 
-    # Host-side probability images, then every (scene, object) segment in
-    # one vmapped program.
+    # Every (scene, object) segment in one vmapped program. GT probability
+    # images ((class_mask == id) * 1.0, gt_prob_images semantics) are built
+    # on device from one integer mask per SCENE - the f32 per-JOB stack this
+    # replaces was ~30 MB/batch of upload, the dominant sweep preprocessing
+    # cost. Other strategies keep the host build_prob_images path (their
+    # cost is the predictor, not the upload).
     job_scene: List[int] = []
-    job_prob: List[np.ndarray] = []
     job_keys = []
-    for si, sc in enumerate(scs):
-        class_ids = [db.class_of(n) for n in sc.object_names]
-        prob_images = segmentation.build_prob_images(
-            segmentation_mode,
-            class_ids,
-            class_mask=sc.class_mask,
-            nn_predictor=nn_predictor,
-            color=sc.color,
-            detector=detector,
-            threshold=cfg.preprocess.background_prob,
+    jkeys = None
+    if segmentation_mode == "GT":
+        for sc in scs:
+            if sc.class_mask is None:
+                raise ValueError("GT segmentation needs a class mask")
+        masks_np = np.stack([sc.class_mask for sc in scs])
+        masks_dev = jnp.asarray(
+            masks_np.astype(np.uint8)
+            if masks_np.max(initial=0) < 256 and masks_np.min(initial=0) >= 0
+            else masks_np.astype(np.int32)
         )
-        for oi, o in enumerate(sc.object_names):
-            job_scene.append(si)
-            job_prob.append(np.asarray(prob_images[db.class_of(o)]))
-            job_keys.append(seg_keys_per_scene[si][oi])
-    sidx = jnp.asarray(np.asarray(job_scene))
-    probs = jnp.asarray(np.stack(job_prob))
-    jkeys = jnp.stack(job_keys)
-    segs_all = jax.vmap(
-        lambda si, p, k: segmentation.compute_3d_segment(
-            depth_clean_b[si], p, intrs[si], k, cfg
-        )
-    )(sidx, probs, jkeys)
+        job_cid: List[int] = []
+        for si, sc in enumerate(scs):
+            for oi, o in enumerate(sc.object_names):
+                job_scene.append(si)
+                job_cid.append(db.class_of(o))
+                job_keys.append(seg_keys_per_scene[si][oi])
+        sidx = jnp.asarray(np.asarray(job_scene))
+        cids = jnp.asarray(np.asarray(job_cid, dtype=masks_dev.dtype))
+        jkeys = jnp.stack(job_keys)
+        segs_all = jax.vmap(
+            lambda si, cid, k: segmentation.compute_3d_segment(
+                depth_clean_b[si],
+                (masks_dev[si] == cid).astype(jnp.float32),
+                intrs[si], k, cfg,
+            )
+        )(sidx, cids, jkeys)
+    else:
+        job_prob: List[np.ndarray] = []
+        for si, sc in enumerate(scs):
+            class_ids = [db.class_of(n) for n in sc.object_names]
+            prob_images = segmentation.build_prob_images(
+                segmentation_mode,
+                class_ids,
+                class_mask=sc.class_mask,
+                nn_predictor=nn_predictor,
+                color=sc.color,
+                detector=detector,
+                threshold=cfg.preprocess.background_prob,
+            )
+            for oi, o in enumerate(sc.object_names):
+                job_scene.append(si)
+                job_prob.append(np.asarray(prob_images[db.class_of(o)]))
+                job_keys.append(seg_keys_per_scene[si][oi])
+        sidx = jnp.asarray(np.asarray(job_scene))
+        probs = jnp.asarray(np.stack(job_prob))
+        jkeys = jnp.stack(job_keys)
+        segs_all = jax.vmap(
+            lambda si, p, k: segmentation.compute_3d_segment(
+                depth_clean_b[si], p, intrs[si], k, cfg
+            )
+        )(sidx, probs, jkeys)
 
     out: List[_SceneJobs] = []
     ofs = 0
-    depth_clean_np = np.asarray(depth_clean_b)
+    depth_clean_out = np.asarray(depth_clean_b) if fetch_depth else depth_clean_b
     table_poses_np = np.asarray(table_poses)
     for si, sc in enumerate(scs):
         k = len(sc.object_names)
@@ -195,7 +250,7 @@ def prepare_scenes(
                 segs=segs,
                 gen_keys=np.asarray(jax.random.key_data(gen_keys_per_scene[si])),
                 table_pose=table_poses_np[si],
-                depth_clean=depth_clean_np[si],
+                depth_clean=depth_clean_out[si],
             )
         )
     return out
@@ -243,6 +298,7 @@ def sweep_scenes(
     prepared = prepare_scenes(
         scene_dirs, db, dataset=dataset, segmentation_mode=segmentation_mode,
         cfg=cfg, seed=seed, nn_predictor=nn_predictor, detector=detector,
+        fetch_depth=(verification_mode == "MCTS"),
     )
     prep_s = time.perf_counter() - t0
 

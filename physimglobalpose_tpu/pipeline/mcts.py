@@ -116,13 +116,21 @@ def _leaf_eval_one(consts, cfg, h, w, radius, choice_row, active_row):
             body_active=placed_row,
         )
 
-    def run_settle(scene, q, p):
-        return physics.settle(
-            scene, q, p,
+    def run_settle(scene, q, p, dyn_idx):
+        # Exactly one body is dynamic per settle here (reference
+        # correctPhysics semantics) - use the specialized solver, whose
+        # per-substep chain is 2 contact solves instead of K+1
+        # (physics.settle_single_dynamic; equivalence gated by
+        # tests/test_physics.py).
+        return physics.settle_single_dynamic(
+            scene, q, p, dyn_idx,
             steps=ph.steps, substeps=ph.substeps, dt=ph.dt,
             gravity=ph.gravity, damping=ph.damping,
             friction=ph.friction, restitution=ph.restitution,
         )
+
+    def dyn_of(is_dyn):
+        return jnp.where(jnp.any(is_dyn), jnp.argmax(is_dyn), -1)
 
     if cfg.mcts.sequential_settle:
         # Reference defaultPolicy settles each newly placed object on
@@ -134,7 +142,7 @@ def _leaf_eval_one(consts, cfg, h, w, radius, choice_row, active_row):
             is_dyn = active_row & (order_pos == d)
             placed = active_row & (order_pos <= d)
             inv_mass = jnp.where(is_dyn, 1.0 / ph.object_mass, 0.0)
-            q2, p2 = run_settle(scene_for(inv_mass, placed), q, p)
+            q2, p2 = run_settle(scene_for(inv_mass, placed), q, p, dyn_of(is_dyn))
             return (q2, p2), None
 
         (q2, p2), _ = jax.lax.scan(settle_step, (quat, pos), jnp.arange(k))
@@ -146,7 +154,7 @@ def _leaf_eval_one(consts, cfg, h, w, radius, choice_row, active_row):
         last_idx = jnp.max(jnp.where(active_row, order_pos, -1))
         is_dynamic = active_row & (order_pos == last_idx)
         inv_mass = jnp.where(is_dynamic, 1.0 / ph.object_mass, 0.0)
-        q2, p2 = run_settle(scene_for(inv_mass, active_row), quat, pos)
+        q2, p2 = run_settle(scene_for(inv_mass, active_row), quat, pos, dyn_of(is_dynamic))
     settled_w = se3.pose_from_rot_trans(se3.quat_to_matrix(q2), p2)
     # Render all placed objects in camera frame: one scatter pass composites
     # every object (associative scatter-min == the reference's per-object

@@ -169,3 +169,44 @@ def test_off_table_box_falls():
     pos = jnp.asarray([[0.9, 0.0, 0.6]])  # outside the 0.4 half-extent footprint
     _, p2 = physics.settle(scene, quat, pos, steps=60)
     assert float(p2[0, 2]) < 0.45  # fell below table top
+
+
+def test_single_dynamic_matches_general_settle():
+    # settle_single_dynamic is the MCTS leaf solver: with exactly one
+    # inv_mass > 0 body it must reproduce settle() (statics never move, so
+    # carrying only the dynamic body's state is exact; the only permitted
+    # deviation is settle()'s idempotent renormalization of static quats).
+    scene = make_scene(
+        k=3, mass=(0.0, 10.0, 0.0),
+        sizes=[(0.06, 0.06, 0.06), (0.05, 0.05, 0.08), (0.08, 0.04, 0.05)],
+    )
+    rng = np.random.default_rng(7)
+    q_raw = rng.normal(size=(3, 4)).astype(np.float32)
+    quat = jnp.asarray(q_raw / np.linalg.norm(q_raw, axis=1, keepdims=True))
+    # Body 1 (dynamic) overlapping body 0 and above the table: exercises
+    # gravity, the table contact, and a pair contact in one settle.
+    pos = jnp.asarray(
+        [[0.0, 0.0, 0.53], [0.012, 0.01, 0.60], [0.3, 0.2, 0.525]], np.float32
+    )
+    q_gen, p_gen = physics.settle(scene, quat, pos, steps=60)
+    q_one, p_one = physics.settle_single_dynamic(
+        scene, quat, pos, jnp.asarray(1), steps=60
+    )
+    np.testing.assert_allclose(np.asarray(p_one), np.asarray(p_gen), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_one), np.asarray(q_gen), atol=1e-5)
+
+    # body_active masking must match too (inactive colliders are invisible).
+    scene_a = scene._replace(body_active=jnp.asarray([False, True, True]))
+    q_gen, p_gen = physics.settle(scene_a, quat, pos, steps=60)
+    q_one, p_one = physics.settle_single_dynamic(
+        scene_a, quat, pos, jnp.asarray(1), steps=60
+    )
+    np.testing.assert_allclose(np.asarray(p_one), np.asarray(p_gen), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_one), np.asarray(q_gen), atol=1e-5)
+
+    # dyn_idx = -1: no dynamic body, exact no-op.
+    q_one, p_one = physics.settle_single_dynamic(
+        scene, quat, pos, jnp.asarray(-1), steps=60
+    )
+    np.testing.assert_array_equal(np.asarray(p_one), np.asarray(pos))
+    np.testing.assert_array_equal(np.asarray(q_one), np.asarray(quat))
