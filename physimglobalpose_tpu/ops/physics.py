@@ -355,6 +355,16 @@ def settle_single_dynamic(
     top = scene.table_half_extents[2]
     foot = scene.table_half_extents[:2]
 
+    # Static colliders never move, so their hull face planes are CONSTANT in
+    # world frame: sd = local·n_l + d with local = R_bᵀ(w - p_b) equals
+    # w·(R_b n_l) + (d - (R_b n_l)·p_b). Precomputing (n_w, d_w) here removes
+    # every per-substep static-body rotation/frame change from the loop -
+    # each pair contact is then one [P, F] matmul against world planes.
+    rot_all = jax.vmap(se3.quat_to_matrix)(init_quat)  # [K, 3, 3]
+    n_w = jnp.einsum("kij,kfj->kfi", rot_all, scene.hull_eqs[..., :3])  # [K, F, 3]
+    d_w = scene.hull_eqs[..., 3] - jnp.einsum("kfi,ki->kf", n_w, init_pos)
+    eqs_world = jnp.concatenate([n_w, d_w[..., None]], axis=-1)  # [K, F, 4]
+
     def table_contact(quat_i, pos_i):
         # Same contact-patch model as settle().table_contact.
         rot = se3.quat_to_matrix(quat_i)
@@ -385,23 +395,24 @@ def settle_single_dynamic(
 
         # Pair contacts vs every STATIC collider b (their poses are the
         # initial ones - statics never move), Jacobi-summed exactly like
-        # settle()'s within-body solve.
+        # settle()'s within-body solve. The dynamic hull is transformed to
+        # world ONCE; each collider is one [P, F] matmul against its
+        # precomputed world-frame planes.
+        rot_a = se3.quat_to_matrix(q_d)
+        world_a = hull_d @ rot_a.T + p_d
+
         def contact_vs(b):
             # body_body_contact of settle(), inlined against the carried
             # dynamic state.
-            rot_a = se3.quat_to_matrix(q_d)
-            world_a = hull_d @ rot_a.T + p_d
-            rot_b = se3.quat_to_matrix(init_quat[b])
-            local = (world_a - init_pos[b]) @ rot_b
-            eqs_b = scene.hull_eqs[b]
-            sd = local @ eqs_b[:, :3].T + eqs_b[:, 3][None, :]
+            eqs_b = eqs_world[b]
+            sd = world_a @ eqs_b[:, :3].T + eqs_b[:, 3][None, :]
             inside_depth = -jnp.max(sd, axis=1)
             face = jnp.argmax(sd, axis=1)
             pen = jnp.where(mask_d & (inside_depth > 0), inside_depth, 0.0)
             best = jnp.argmax(pen)
             wsum = jnp.sum(pen)
             centroid = jnp.sum(world_a * pen[:, None], axis=0) / jnp.maximum(wsum, 1e-12)
-            n_world = rot_b @ eqs_b[face[best], :3]
+            n_world = eqs_b[face[best], :3]
             r = centroid - p_d
             max_pen = jnp.max(pen)
             act = (max_pen > 0) & (b != dyn) & active_d
