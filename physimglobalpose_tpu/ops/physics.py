@@ -7,16 +7,26 @@ decided objects as static (mass 0), the new object dynamic (mass 10), steps
 60x at 1/60 s and reads back the settled pose (UCTState::correctPhysics).
 
 TPU design: position-based dynamics (PBD). Contacts are convex vertex-face:
-object hull vertices against the table's top face and against other objects'
-hull half-space planes — all contact candidates evaluated densely with masks
-(fixed shapes), no broadphase. Known limitation of vertex-face-only contact:
-two convex shapes with *exactly coincident* lateral boundaries (equal boxes
-perfectly stacked) report zero depth because the penetrating vertices lie on
-the other hull's side faces; real object hulls have distinct footprints, and
-penetration must stay below the lateral clearance per substep (bounded here
-by dt * fall speed, ~5 mm). The whole settle is one lax.fori_loop, vmapped
-over a batch of scenes/hypotheses: thousands of 60-step settles run in one
-device launch vs one serial Bullet world in the reference.
+object hull vertices against convex plane sets — other objects' hulls AND
+the table box (the table is just one more 6-face collider; one uniform
+contact path instead of a special-cased top-face test). All contact
+candidates are evaluated densely with masks (fixed shapes), no broadphase.
+Per substep, each body's contacts against every collider are gathered into
+ONE Jacobi solve (velocity fixes averaged over active contacts so a body
+resting on the table while leaning on a neighbor is not tangentially damped
+twice); bodies are still Gauss-Seidel ordered in the general solver. The op
+count per substep — not the FLOP count — is what the sequential substep
+chain pays on TPU, so the single-dynamic MCTS solver packs ALL colliders'
+world planes into one [P, (K+1)*F] matmul per substep.
+
+Known limitation of vertex-face-only contact: two convex shapes with
+*exactly coincident* lateral boundaries (equal boxes perfectly stacked)
+report zero depth because the penetrating vertices lie on the other hull's
+side faces; real object hulls have distinct footprints, and penetration must
+stay below the lateral clearance per substep (bounded by dt * fall speed).
+The whole settle is one lax.fori_loop, vmapped over a batch of
+scenes/hypotheses: thousands of 60-step settles run in one device launch vs
+one serial Bullet world in the reference.
 
 State layout (per scene): K bodies x (quat wxyz [4], pos [3], linvel [3],
 angvel [3]). Static bodies have inv_mass 0.
@@ -86,46 +96,112 @@ def _integrate_quat(q, omega, dt):
     return q2 / jnp.maximum(jnp.linalg.norm(q2, axis=-1, keepdims=True), 1e-12)
 
 
-def _contact_deltas(
-    pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth, active,
-    friction=1.0, restitution=0.0,
+def _box_local_planes(half_extents) -> jnp.ndarray:
+    """[6, 4] outward face planes of an axis-aligned box (local frame)."""
+    hx, hy, hz = half_extents[0], half_extents[1], half_extents[2]
+    n = jnp.array(
+        [[1.0, 0, 0], [-1.0, 0, 0], [0, 1.0, 0], [0, -1.0, 0], [0, 0, 1.0], [0, 0, -1.0]]
+    )
+    d = -jnp.stack([hx, hx, hy, hy, hz, hz])
+    return jnp.concatenate([n, d[:, None]], axis=-1)
+
+
+def _planes_to_world(rot, pos, eqs):
+    """Local plane set [.., F, 4] -> world frame under pose (rot, pos).
+
+    n_l·x_l + d = 0 with x_l = Rᵀ(x_w − p)  ⇒  (R n_l)·x_w + (d − (R n_l)·p).
+    """
+    n_w = eqs[..., :3] @ rot.T
+    d_w = eqs[..., 3] - n_w @ pos
+    return jnp.concatenate([n_w, d_w[..., None]], axis=-1)
+
+
+def _planeset_contact(world_pts, mask, planes):
+    """Contact of a vertex set against ONE convex plane set (world frame).
+
+    Normal from the deepest vertex's closest face; lever arm from the
+    penetration-weighted centroid of all penetrating vertices (a one-point
+    stand-in for Bullet's contact manifold: a flat face resting on a surface
+    produces zero net torque instead of the tumbling kick a single
+    deepest-vertex contact would give).
+    Returns (centroid [3], normal [3], max_pen, active).
+    """
+    sd = world_pts @ planes[:, :3].T + planes[:, 3][None, :]  # [P, F]
+    inside = -jnp.max(sd, axis=1)  # >0 when inside the hull
+    face = jnp.argmax(sd, axis=1)  # closest face per vertex
+    pen = jnp.where(mask & (inside > 0), inside, 0.0)
+    best = jnp.argmax(pen)
+    wsum = jnp.sum(pen)
+    centroid = jnp.sum(world_pts * pen[:, None], axis=0) / jnp.maximum(wsum, 1e-12)
+    n_w = planes[face[best], :3]
+    max_pen = jnp.max(pen)
+    return centroid, n_w, max_pen, max_pen > 0
+
+
+def _solve_contacts(
+    pos, quat, linvel, angvel, inv_mass, inv_inertia,
+    centroids, normals, depths, act,
+    friction=1.0, restitution=0.0, rot=None,
 ):
-    """State deltas for one positional contact at world point pos+r, normal n.
+    """Jacobi solve of C simultaneous contacts of ONE body.
 
     Material model (PhySim.cpp:53-79 semantics): restitution e reflects the
     inward normal velocity to -e*vn (e=0 kills it); friction mu removes
     min(1, 0.8*mu) of the tangential contact-point velocity per solve (mu=1
     reproduces the settle behavior validated against the reference's Bullet
-    envelope; mu=0 is frictionless). Returned as additive deltas
-    (dpos, drot_vec, dlinvel, dangvel) so multiple simultaneous contacts of
-    one body can be Jacobi-summed (ops/physics.py substep design note).
+    envelope). Positional corrections are depth-resolving per contact and
+    summed; VELOCITY fixes are averaged over active contacts (summing would
+    apply the tangential damp once per contact — a body resting on the table
+    while leaning on a neighbor would overshoot into reversed velocity).
+    The shared inverse-inertia world tensor is computed once per solve, not
+    per contact. Returns additive deltas (dpos, drot_vec, dlinvel, dangvel).
     """
-    rot = se3.quat_to_matrix(quat)  # [3,3]
+    if rot is None:
+        rot = se3.quat_to_matrix(quat)
     inv_i_world = rot @ jnp.diag(inv_inertia) @ rot.T
-    rxn = jnp.cross(r, n)
-    w = inv_mass + rxn @ inv_i_world @ rxn
-    lam = jnp.where(active & (w > 0), depth / jnp.maximum(w, 1e-9), 0.0)
-    p = lam * n
-    dpos = p * inv_mass
-    drot = inv_i_world @ jnp.cross(r, p)
-    v_pt = linvel + jnp.cross(angvel, r)
-    vn = jnp.dot(v_pt, n)
-    v_norm_fix = jnp.where(active & (vn < 0), -(1.0 + restitution) * vn, 0.0) * n
-    v_tan = v_pt - jnp.dot(v_pt, n) * n
+    r = centroids - pos  # [C, 3]
+    rxn = jnp.cross(r, normals)
+    w = inv_mass + jnp.sum(rxn * (rxn @ inv_i_world.T), axis=-1)  # [C]
+    lam = jnp.where(act & (w > 0), depths / jnp.maximum(w, 1e-9), 0.0)
+    p_imp = lam[:, None] * normals  # [C, 3]
+    dpos = jnp.sum(p_imp, axis=0) * inv_mass
+    drot = inv_i_world @ jnp.sum(jnp.cross(r, p_imp), axis=0)
+    v_pt = linvel[None, :] + jnp.cross(angvel[None, :], r)  # [C, 3]
+    vn = jnp.sum(v_pt * normals, axis=-1)
+    v_norm_fix = (
+        jnp.where(act & (vn < 0), -(1.0 + restitution) * vn, 0.0)[:, None] * normals
+    )
     tan_coeff = jnp.clip(0.8 * friction, 0.0, 1.0)
-    v_tan_fix = jnp.where(active, -tan_coeff * v_tan, jnp.zeros(3))
-    dv = v_norm_fix + v_tan_fix
+    v_tan = v_pt - vn[:, None] * normals
+    v_tan_fix = jnp.where(act, -tan_coeff, 0.0)[:, None] * v_tan
+    dv_each = v_norm_fix + v_tan_fix  # [C, 3]
+    n_act = jnp.maximum(jnp.sum(act.astype(dv_each.dtype)), 1.0)
+    dlin = jnp.sum(dv_each, axis=0) / n_act
     # The 0.5 under-relaxes the angular velocity correction; full-strength
     # coupling makes single-point contact patches ring (solver stabilization
     # constant, not a material parameter).
-    dangvel = inv_i_world @ jnp.cross(r, dv) * 0.5
-    use = active & (inv_mass > 0)
+    dang = inv_i_world @ jnp.sum(jnp.cross(r, dv_each), axis=0) * 0.5 / n_act
+    use = inv_mass > 0
     zero = jnp.zeros(3)
     return (
         jnp.where(use, dpos, zero),
         jnp.where(use, drot, zero),
-        jnp.where(use, dv, zero),
-        jnp.where(use, dangvel, zero),
+        jnp.where(use, dlin, zero),
+        jnp.where(use, dang, zero),
+    )
+
+
+def _contact_deltas(
+    pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth, active,
+    friction=1.0, restitution=0.0,
+):
+    """Single-contact deltas (unit-test surface; see _solve_contacts)."""
+    depth = jnp.asarray(depth).reshape(1)
+    active = jnp.asarray(active).reshape(1)
+    return _solve_contacts(
+        pos, quat, linvel, angvel, inv_mass, inv_inertia,
+        (pos + r)[None, :], n[None, :], depth, active,
+        friction=friction, restitution=restitution,
     )
 
 
@@ -133,17 +209,12 @@ def _apply_contact(
     pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth, active,
     friction=1.0, restitution=0.0,
 ):
-    """Positional contact resolution: apply one contact's deltas.
-
-    Pushes the body along n by depth (single-body vs static other side);
-    returns updated (pos, quat, linvel, angvel). See _contact_deltas for the
-    material model.
-    """
+    """Positional contact resolution: apply one contact's deltas."""
     dpos, drot, dlin, dang = _contact_deltas(
         pos, quat, linvel, angvel, inv_mass, inv_inertia, r, n, depth, active,
         friction=friction, restitution=restitution,
     )
-    use = active & (inv_mass > 0)
+    use = jnp.asarray(active) & (inv_mass > 0)
     new_quat = _integrate_quat(quat, drot, 1.0)
     return (
         pos + dpos,
@@ -170,58 +241,14 @@ def settle(
     restitution: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Settle K bodies; returns (quat [K, 4], pos [K, 3])."""
-    k, p_max = scene.hull_pts.shape[:2]
+    k = scene.hull_pts.shape[0]
     g = jnp.array([0.0, 0.0, gravity])
     h = dt / substeps
 
-    t_inv = se3.invert_pose(scene.table_pose)
-    top = scene.table_half_extents[2]
-    foot = scene.table_half_extents[:2]
-
-    def table_contact(quat_i, pos_i, hull_i, mask_i):
-        """Contact-patch contact with the table top face.
-
-        The lever arm is the penetration-weighted centroid of all penetrating
-        hull vertices (a one-point stand-in for Bullet's contact manifold):
-        a flat face resting on the table produces zero net torque instead of
-        the tumbling kick a single deepest-vertex contact would give.
-        """
-        rot = se3.quat_to_matrix(quat_i)
-        world = hull_i @ rot.T + pos_i  # [P, 3]
-        local = world @ t_inv[:3, :3].T + t_inv[:3, 3]
-        in_foot = (jnp.abs(local[:, 0]) <= foot[0]) & (jnp.abs(local[:, 1]) <= foot[1])
-        depth = top - local[:, 2]  # >0 below the top surface
-        pen = jnp.where(mask_i & in_foot & (depth > 0) & (depth < 2 * top), depth, 0.0)
-        wsum = jnp.sum(pen)
-        centroid = jnp.sum(world * pen[:, None], axis=0) / jnp.maximum(wsum, 1e-12)
-        n_world = scene.table_pose[:3, :3] @ jnp.array([0.0, 0.0, 1.0])
-        r = centroid - pos_i
-        max_pen = jnp.max(pen)
-        return r, n_world, max_pen, max_pen > 0
-
-    def body_body_contact(quat_a, pos_a, hull_a, mask_a, quat_b, pos_b, eqs_b):
-        """Contact-patch contact of a's vertices against b's hull faces.
-
-        Normal from the deepest vertex's closest face; lever arm from the
-        penetration-weighted centroid of all penetrating vertices (see
-        table_contact for why).
-        """
-        rot_a = se3.quat_to_matrix(quat_a)
-        world_a = hull_a @ rot_a.T + pos_a  # [P, 3]
-        rot_b = se3.quat_to_matrix(quat_b)
-        local = (world_a - pos_b) @ rot_b  # into b's frame
-        sd = local @ eqs_b[:, :3].T + eqs_b[:, 3][None, :]  # [P, F] signed dist
-        inside_depth = -jnp.max(sd, axis=1)  # >0 when inside hull b
-        face = jnp.argmax(sd, axis=1)  # closest face per point
-        pen = jnp.where(mask_a & (inside_depth > 0), inside_depth, 0.0)
-        best = jnp.argmax(pen)
-        wsum = jnp.sum(pen)
-        centroid = jnp.sum(world_a * pen[:, None], axis=0) / jnp.maximum(wsum, 1e-12)
-        n_local = eqs_b[face[best], :3]
-        n_world = rot_b @ n_local  # outward from b = push direction for a
-        r = centroid - pos_a
-        max_pen = jnp.max(pen)
-        return r, n_world, max_pen, max_pen > 0
+    table_planes = _planes_to_world(
+        scene.table_pose[:3, :3], scene.table_pose[:3, 3],
+        _box_local_planes(scene.table_half_extents),
+    )  # [6, 4] constant through the settle
 
     def substep(state):
         quat, pos, linvel, angvel = state
@@ -231,54 +258,42 @@ def settle(
         pos = pos + linvel * h
         quat = _integrate_quat(quat, angvel * h, 1.0)
 
-        # Table contacts: each body's correction reads only its own state
-        # (the table is static), so the solve vectorizes over bodies with
-        # EXACTLY the math of a per-body sequential loop - this cuts the
-        # per-substep sequential chain from k to 1 (the chain length, not
-        # the flop count, dominates the vmapped MCTS leaf batch; measured
-        # round 3, scripts/profile_mcts_steps.py).
-        r_t, n_t, depth_t, act_t = jax.vmap(table_contact)(
-            quat, pos, scene.hull_pts, scene.hull_mask
-        )
-        if scene.body_active is not None:
-            act_t = act_t & scene.body_active
-        pos, quat, linvel, angvel = jax.vmap(
-            functools.partial(
-                _apply_contact, friction=friction, restitution=restitution
-            )
-        )(pos, quat, linvel, angvel, scene.inv_mass, scene.inv_inertia,
-          r_t, n_t, depth_t, act_t)
-
-        # Pairwise contacts: push dynamic body a out of every other body b.
-        # Gauss-Seidel ACROSS bodies (body a sees 0..a-1 already corrected,
-        # as before), Jacobi WITHIN one body's contacts (its corrections
-        # against all colliders are computed from the same state and summed;
-        # identical to the sequential solve whenever a body touches at most
-        # one other - the overwhelmingly common case - and k x shorter
-        # sequential chain otherwise).
-        def solve_pairs_for(a, st):
+        # One Jacobi solve per body of ALL its contacts (k-1 other hulls +
+        # the table box), Gauss-Seidel ACROSS bodies: body a sees 0..a-1
+        # already corrected. The table is just one more plane-set collider —
+        # same contact math, one code path.
+        def solve_body(a, st):
             q_, p_, lv_, av_ = st
+            rot_a = se3.quat_to_matrix(q_[a])
+            world_a = scene.hull_pts[a] @ rot_a.T + p_[a]  # [P, 3]
+            mask_a = scene.hull_mask[a]
 
             def contact_vs(b):
-                r, n, depth, act = body_body_contact(
-                    q_[a], p_[a], scene.hull_pts[a], scene.hull_mask[a],
-                    q_[b], p_[b], scene.hull_eqs[b],
-                )
+                rot_b = se3.quat_to_matrix(q_[b])
+                planes_b = _planes_to_world(rot_b, p_[b], scene.hull_eqs[b])
+                c, n, d, act = _planeset_contact(world_a, mask_a, planes_b)
                 act = act & (a != b)
                 if scene.body_active is not None:
                     # Inactive bodies must not collide in either role: a's
                     # side is already masked via hull_mask, but b's hull_eqs
                     # would otherwise act as an invisible static collider.
                     act = act & scene.body_active[a] & scene.body_active[b]
-                return _contact_deltas(
-                    p_[a], q_[a], lv_[a], av_[a],
-                    scene.inv_mass[a], scene.inv_inertia[a], r, n, depth, act,
-                    friction=friction, restitution=restitution,
-                )
+                return c, n, d, act
 
-            dpos, drot, dlin, dang = jax.vmap(contact_vs)(jnp.arange(k))
-            dpos, drot = jnp.sum(dpos, axis=0), jnp.sum(drot, axis=0)
-            dlin, dang = jnp.sum(dlin, axis=0), jnp.sum(dang, axis=0)
+            cs, ns, ds, acts = jax.vmap(contact_vs)(jnp.arange(k))
+            ct, nt, dt_t, at_t = _planeset_contact(world_a, mask_a, table_planes)
+            if scene.body_active is not None:
+                at_t = at_t & scene.body_active[a]
+            cs = jnp.concatenate([cs, ct[None]], axis=0)
+            ns = jnp.concatenate([ns, nt[None]], axis=0)
+            ds = jnp.concatenate([ds, dt_t[None]], axis=0)
+            acts = jnp.concatenate([acts, at_t[None]], axis=0)
+            dpos, drot, dlin, dang = _solve_contacts(
+                p_[a], q_[a], lv_[a], av_[a],
+                scene.inv_mass[a], scene.inv_inertia[a],
+                cs, ns, ds, acts, friction=friction, restitution=restitution,
+                rot=rot_a,
+            )
             return (
                 q_.at[a].set(_integrate_quat(q_[a], drot, 1.0)),
                 p_.at[a].set(p_[a] + dpos),
@@ -287,7 +302,7 @@ def settle(
             )
 
         quat, pos, linvel, angvel = jax.lax.fori_loop(
-            0, k, solve_pairs_for, (quat, pos, linvel, angvel)
+            0, k, solve_body, (quat, pos, linvel, angvel)
         )
 
         linvel = linvel * damping
@@ -328,18 +343,20 @@ def settle_single_dynamic(
 
     The MCTS leaf evaluator always settles with a single dynamic body (the
     reference's correctPhysics adds one btRigidBody with mass > 0 per node,
-    UCTState.cpp:208-270); the general solver still pays the full K-body
-    chain per substep - a fori_loop whose k-1 other iterations are exact
-    no-ops (zeroed by inv_mass == 0) - plus [K, P, 3] hull transforms.
-    Since static bodies NEVER move, this version carries only the dynamic
-    body's (quat, pos, linvel, angvel), reads the static poses as loop
-    constants, and scatters the result back once at the end: per-substep
-    sequential chain 2 contact solves instead of k+1, and k x less contact
-    math. Numerically identical to settle() with one inv_mass > 0 body,
-    except static quats skip settle()'s idempotent per-substep
-    renormalization (equivalence gated by tests/test_physics.py).
+    UCTState.cpp:208-270). Since static bodies NEVER move, this version
+    carries only the dynamic body's (quat, pos, linvel, angvel), reads the
+    static poses as loop constants, and scatters the result back once at the
+    end. All colliders' face planes (the K static hulls AND the table box)
+    are precomputed in WORLD frame and packed into one [(K+1)*F, 4] set, so
+    each substep's whole contact detection is ONE [P, (K+1)*F] matmul plus
+    per-collider segment reductions — the substep op count, not the FLOP
+    count, is what the 100+-substep sequential chain pays on TPU.
+    Numerically identical to settle() with one inv_mass > 0 body, except
+    static quats skip settle()'s idempotent per-substep renormalization
+    (equivalence gated by tests/test_physics.py).
     """
-    k = scene.hull_pts.shape[0]
+    k, p_max = scene.hull_pts.shape[:2]
+    f_max = max(scene.hull_eqs.shape[-2], 6)
     g = jnp.array([0.0, 0.0, gravity])
     h = dt / substeps
     has = dyn_idx >= 0
@@ -351,34 +368,34 @@ def settle_single_dynamic(
     mask_d = scene.hull_mask[dyn]
     active_d = has if scene.body_active is None else has & scene.body_active[dyn]
 
-    t_inv = se3.invert_pose(scene.table_pose)
-    top = scene.table_half_extents[2]
-    foot = scene.table_half_extents[:2]
-
-    # Static colliders never move, so their hull face planes are CONSTANT in
-    # world frame: sd = local·n_l + d with local = R_bᵀ(w - p_b) equals
-    # w·(R_b n_l) + (d - (R_b n_l)·p_b). Precomputing (n_w, d_w) here removes
-    # every per-substep static-body rotation/frame change from the loop -
-    # each pair contact is then one [P, F] matmul against world planes.
+    # Static colliders never move, so their face planes are CONSTANT in
+    # world frame; the table box is just one more plane-set collider. Pack
+    # all K+1 colliders' world planes into one flat set once per settle.
     rot_all = jax.vmap(se3.quat_to_matrix)(init_quat)  # [K, 3, 3]
-    n_w = jnp.einsum("kij,kfj->kfi", rot_all, scene.hull_eqs[..., :3])  # [K, F, 3]
-    d_w = scene.hull_eqs[..., 3] - jnp.einsum("kfi,ki->kf", n_w, init_pos)
-    eqs_world = jnp.concatenate([n_w, d_w[..., None]], axis=-1)  # [K, F, 4]
+    eqs_world = jax.vmap(_planes_to_world)(rot_all, init_pos, scene.hull_eqs)  # [K, F', 4]
+    table_planes = _planes_to_world(
+        scene.table_pose[:3, :3], scene.table_pose[:3, 3],
+        _box_local_planes(scene.table_half_extents),
+    )  # [6, 4]
 
-    def table_contact(quat_i, pos_i):
-        # Same contact-patch model as settle().table_contact.
-        rot = se3.quat_to_matrix(quat_i)
-        world = hull_d @ rot.T + pos_i  # [P, 3]
-        local = world @ t_inv[:3, :3].T + t_inv[:3, 3]
-        in_foot = (jnp.abs(local[:, 0]) <= foot[0]) & (jnp.abs(local[:, 1]) <= foot[1])
-        depth = top - local[:, 2]
-        pen = jnp.where(mask_d & in_foot & (depth > 0) & (depth < 2 * top), depth, 0.0)
-        wsum = jnp.sum(pen)
-        centroid = jnp.sum(world * pen[:, None], axis=0) / jnp.maximum(wsum, 1e-12)
-        n_world = scene.table_pose[:3, :3] @ jnp.array([0.0, 0.0, 1.0])
-        r = centroid - pos_i
-        max_pen = jnp.max(pen)
-        return r, n_world, max_pen, max_pen > 0
+    def pad_faces(planes):  # pad a [.., F', 4] plane set to f_max with far planes
+        short = f_max - planes.shape[-2]
+        if short <= 0:
+            return planes
+        far = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0, -1e9]), planes.shape[:-2] + (short, 4)
+        )
+        return jnp.concatenate([planes, far], axis=-2)
+
+    planes_all = jnp.concatenate(
+        [pad_faces(eqs_world), pad_faces(table_planes)[None]], axis=0
+    )  # [K+1, F, 4]
+    pl3 = planes_all[..., :3].reshape(-1, 3)  # [(K+1)F, 3]
+    pld = planes_all[..., 3].reshape(-1)
+    coll_ok = jnp.arange(k) != dyn
+    if scene.body_active is not None:
+        coll_ok = coll_ok & scene.body_active
+    coll_ok = jnp.concatenate([coll_ok, jnp.array([True])])  # table always
 
     def substep(state):
         q_d, p_d, lv, av = state
@@ -386,50 +403,33 @@ def settle_single_dynamic(
         p_d = p_d + lv * h
         q_d = _integrate_quat(q_d, av * h, 1.0)
 
-        r_t, n_t, depth_t, act_t = table_contact(q_d, p_d)
-        p_d, q_d, lv, av = _apply_contact(
-            p_d, q_d, lv, av, inv_mass_d, inv_inertia_d,
-            r_t, n_t, depth_t, act_t & active_d,
-            friction=friction, restitution=restitution,
+        # Contact detection against ALL colliders in one matmul.
+        rot = se3.quat_to_matrix(q_d)
+        world = hull_d @ rot.T + p_d  # [P, 3]
+        sd = world @ pl3.T + pld[None, :]  # [P, (K+1)F]
+        sd3 = sd.reshape(p_max, k + 1, f_max)
+        inside = -jnp.max(sd3, axis=2)  # [P, K+1] >0 when inside collider
+        pen = jnp.where(
+            mask_d[:, None] & (inside > 0) & coll_ok[None, :], inside, 0.0
         )
+        max_pen = jnp.max(pen, axis=0)  # [K+1]
+        act = (max_pen > 0) & active_d
+        best = jnp.argmax(pen, axis=0)  # [K+1] deepest vertex per collider
+        sd_best = jnp.take_along_axis(sd3, best[None, :, None], axis=0)[0]  # [K+1, F]
+        face = jnp.argmax(sd_best, axis=1)  # [K+1] closest face of deepest vertex
+        normals = jnp.take_along_axis(
+            planes_all[..., :3], face[:, None, None], axis=1
+        )[:, 0, :]  # [K+1, 3]
+        wsum = jnp.sum(pen, axis=0)
+        centroids = (pen.T @ world) / jnp.maximum(wsum, 1e-12)[:, None]  # [K+1, 3]
 
-        # Pair contacts vs every STATIC collider b (their poses are the
-        # initial ones - statics never move), Jacobi-summed exactly like
-        # settle()'s within-body solve. The dynamic hull is transformed to
-        # world ONCE; each collider is one [P, F] matmul against its
-        # precomputed world-frame planes.
-        rot_a = se3.quat_to_matrix(q_d)
-        world_a = hull_d @ rot_a.T + p_d
-
-        def contact_vs(b):
-            # body_body_contact of settle(), inlined against the carried
-            # dynamic state.
-            eqs_b = eqs_world[b]
-            sd = world_a @ eqs_b[:, :3].T + eqs_b[:, 3][None, :]
-            inside_depth = -jnp.max(sd, axis=1)
-            face = jnp.argmax(sd, axis=1)
-            pen = jnp.where(mask_d & (inside_depth > 0), inside_depth, 0.0)
-            best = jnp.argmax(pen)
-            wsum = jnp.sum(pen)
-            centroid = jnp.sum(world_a * pen[:, None], axis=0) / jnp.maximum(wsum, 1e-12)
-            n_world = eqs_b[face[best], :3]
-            r = centroid - p_d
-            max_pen = jnp.max(pen)
-            act = (max_pen > 0) & (b != dyn) & active_d
-            if scene.body_active is not None:
-                act = act & scene.body_active[b]
-            return _contact_deltas(
-                p_d, q_d, lv, av, inv_mass_d, inv_inertia_d, r, n_world,
-                max_pen, act, friction=friction, restitution=restitution,
-            )
-
-        dpos, drot, dlin, dang = jax.vmap(contact_vs)(jnp.arange(k))
-        q_d = _integrate_quat(q_d, jnp.sum(drot, axis=0), 1.0)
-        p_d = p_d + jnp.sum(dpos, axis=0)
-        lv = lv + jnp.sum(dlin, axis=0)
-        av = av + jnp.sum(dang, axis=0)
-
-        return q_d, p_d, lv * damping, av * damping
+        dpos, drot, dlin, dang = _solve_contacts(
+            p_d, q_d, lv, av, inv_mass_d, inv_inertia_d,
+            centroids, normals, max_pen, act,
+            friction=friction, restitution=restitution, rot=rot,
+        )
+        q_d = _integrate_quat(q_d, drot, 1.0)
+        return q_d, p_d + dpos, (lv + dlin) * damping, (av + dang) * damping
 
     init = (init_quat[dyn], init_pos[dyn], jnp.zeros(3), jnp.zeros(3))
 

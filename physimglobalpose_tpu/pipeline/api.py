@@ -11,6 +11,7 @@ world-frame poses out, result.txt in the reference's format.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Dict, List, Optional
@@ -26,6 +27,68 @@ from physimglobalpose_tpu.models.objectdb import ObjectDB
 from physimglobalpose_tpu.pipeline import hypothesis, scene as scene_mod, segmentation
 from physimglobalpose_tpu.pipeline.selection import lcp_select
 from physimglobalpose_tpu.utils.tracing import trace_span, get_tracer
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def _finalize_hypotheses_batch(
+    transforms, scores, best_transform, best_score, cam_pose, top_k
+):
+    """Per-object estimate fields for the batched branch, flat-packed so the
+    host pays ONE fetch.
+
+    Each np.asarray(jax op) on the axon backend is a synchronous ~31 ms
+    dispatch+fetch round trip (CLAUDE.md); the previous per-object loop paid
+    ~5 of them per object (top-k transforms/scores, lcp_select, to_world,
+    best_score) - ~0.5 s of pure tunnel latency on a 3-object scene.
+    Returns [K, top_k*16 + top_k + 16 + 16 + 1] f32 rows:
+    (top_tf, top_scores, pose_cam, pose_world, best_score).
+    """
+
+    def one(tf_i, sc_i, bt_i, bs_i):
+        top_scores, idx = jax.lax.top_k(sc_i, top_k)
+        top_tf = tf_i[idx]
+        pose_cam = jnp.where(bs_i > 0, bt_i, jnp.eye(4))  # selection.lcp_select
+        pose_world = cam_pose @ pose_cam  # se3.to_world
+        return top_tf, top_scores, pose_cam, pose_world, bs_i
+
+    top_tf, top_scores, pose_cam, pose_world, best = jax.vmap(one)(
+        transforms, scores, best_transform, best_score
+    )
+    k = transforms.shape[0]
+    return jnp.concatenate(
+        [
+            top_tf.reshape(k, -1), top_scores.reshape(k, -1),
+            pose_cam.reshape(k, -1), pose_world.reshape(k, -1),
+            best.reshape(k, 1),
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "trim_fraction", "max_corr_dist", "point_to_plane"),
+)
+def _refine_final_batch(
+    poses, model_pts, model_nrm, seg_pts, seg_mask, cam_pose,
+    iters, trim_fraction, max_corr_dist, point_to_plane,
+):
+    """Final ICP polish for ALL objects in one device program + one fetch
+    (the per-object loop paid ~3 axon round trips per object).
+    Returns [K, 32] rows: (pose_cam, pose_world) flattened."""
+    from physimglobalpose_tpu.ops import icp as icp_mod
+
+    def one(pose, mp, mn, sp, sm):
+        return icp_mod.refine_icp(
+            pose[None], mp, mn, sp, sm, iters=iters,
+            trim_fraction=trim_fraction, max_corr_dist=max_corr_dist,
+            point_to_plane=point_to_plane,
+        )[0]
+
+    refined = jax.vmap(one)(poses, model_pts, model_nrm, seg_pts, seg_mask)
+    world = jnp.einsum("ij,kjl->kil", cam_pose, refined)
+    k = poses.shape[0]
+    return jnp.concatenate([refined.reshape(k, 16), world.reshape(k, 16)], axis=1)
 
 
 @dataclasses.dataclass
@@ -184,23 +247,23 @@ def estimate_pose(
                 cfg,
                 mode=gen_modes[hypothesis_mode],
             )
+            flat = np.asarray(
+                _finalize_hypotheses_batch(
+                    res_b.transforms, res_b.scores, res_b.best_transform,
+                    res_b.best_score, jnp.asarray(sc.cam_pose), top_k,
+                )
+            )
+            tf_sz, ts_sz = top_k * 16, top_k
             for i, name in enumerate(sc.object_names):
-                res_i = hypothesis.HypothesisResult(
-                    transforms=res_b.transforms[i], scores=res_b.scores[i],
-                    valid=res_b.valid[i], best_transform=res_b.best_transform[i],
-                    best_score=res_b.best_score[i], enough_points=res_b.enough_points[i],
-                )
-                top_tf, top_scores = hypothesis.top_k_hypotheses(res_i, top_k)
-                pose_cam = np.asarray(lcp_select(res_i.best_transform, res_i.best_score))
-                pose_world = np.asarray(
-                    se3.to_world(jnp.asarray(pose_cam), jnp.asarray(sc.cam_pose))
-                )
+                row = flat[i]
                 estimates.append(
                     ObjectPoseEstimate(
-                        name=name, pose_cam=pose_cam, pose_world=pose_world,
-                        score=float(res_i.best_score),
-                        hypotheses=np.asarray(top_tf),
-                        hypothesis_scores=np.asarray(top_scores),
+                        name=name,
+                        pose_cam=row[tf_sz + ts_sz : tf_sz + ts_sz + 16].reshape(4, 4),
+                        pose_world=row[tf_sz + ts_sz + 16 : tf_sz + ts_sz + 32].reshape(4, 4),
+                        score=float(row[-1]),
+                        hypotheses=row[:tf_sz].reshape(top_k, 4, 4),
+                        hypothesis_scores=row[tf_sz : tf_sz + ts_sz],
                     )
                 )
         object_names_left = []
@@ -261,29 +324,54 @@ def estimate_pose(
 
         with trace_span(tracer, "icp_refine"):
             t_icp = time.perf_counter()
-            for i, est in enumerate(estimates):
-                if est.score <= 0:
-                    continue  # degenerate segment -> identity pose, skip
-                obj = db[est.name]
-                seg = segs_by_name[est.name]
-                refined = icp_mod.refine_icp(
-                    jnp.asarray(est.pose_cam)[None],
-                    jnp.asarray(obj.validation_pts[:1024]),
-                    jnp.asarray(obj.validation_nrm[:1024]),
-                    seg.pts, seg.mask,
-                    iters=cfg.icp.iters,
-                    trim_fraction=cfg.icp.trim_fraction,
-                    max_corr_dist=cfg.icp.max_corr_dist,
-                    point_to_plane=cfg.icp.point_to_plane,
+            live = [i for i, est in enumerate(estimates) if est.score > 0]
+            mp_shapes = {db[estimates[i].name].validation_pts[:1024].shape for i in live}
+            sp_shapes = {tuple(segs_by_name[estimates[i].name].pts.shape) for i in live}
+            if len(live) > 1 and len(mp_shapes) == 1 and len(sp_shapes) == 1:
+                # Uniform shapes: refine every object in one device program
+                # with ONE host fetch (per-object dispatch+fetch costs ~31 ms
+                # each on the axon backend).
+                flat = np.asarray(
+                    _refine_final_batch(
+                        jnp.asarray(np.stack([estimates[i].pose_cam for i in live])),
+                        jnp.stack([jnp.asarray(db[estimates[i].name].validation_pts[:1024]) for i in live]),
+                        jnp.stack([jnp.asarray(db[estimates[i].name].validation_nrm[:1024]) for i in live]),
+                        jnp.stack([segs_by_name[estimates[i].name].pts for i in live]),
+                        jnp.stack([segs_by_name[estimates[i].name].mask for i in live]),
+                        jnp.asarray(sc.cam_pose),
+                        cfg.icp.iters, cfg.icp.trim_fraction,
+                        cfg.icp.max_corr_dist, cfg.icp.point_to_plane,
+                    )
                 )
-                pose_cam = np.asarray(refined[0])
-                estimates[i] = dataclasses.replace(
-                    est,
-                    pose_cam=pose_cam,
-                    pose_world=np.asarray(
-                        se3.to_world(jnp.asarray(pose_cam), jnp.asarray(sc.cam_pose))
-                    ),
-                )
+                for row_i, i in enumerate(live):
+                    estimates[i] = dataclasses.replace(
+                        estimates[i],
+                        pose_cam=flat[row_i, :16].reshape(4, 4),
+                        pose_world=flat[row_i, 16:].reshape(4, 4),
+                    )
+            else:
+                for i in live:
+                    est = estimates[i]
+                    obj = db[est.name]
+                    seg = segs_by_name[est.name]
+                    refined = icp_mod.refine_icp(
+                        jnp.asarray(est.pose_cam)[None],
+                        jnp.asarray(obj.validation_pts[:1024]),
+                        jnp.asarray(obj.validation_nrm[:1024]),
+                        seg.pts, seg.mask,
+                        iters=cfg.icp.iters,
+                        trim_fraction=cfg.icp.trim_fraction,
+                        max_corr_dist=cfg.icp.max_corr_dist,
+                        point_to_plane=cfg.icp.point_to_plane,
+                    )
+                    pose_cam = np.asarray(refined[0])
+                    estimates[i] = dataclasses.replace(
+                        est,
+                        pose_cam=pose_cam,
+                        pose_world=np.asarray(
+                            se3.to_world(jnp.asarray(pose_cam), jnp.asarray(sc.cam_pose))
+                        ),
+                    )
             timings["icp_refine_s"] = time.perf_counter() - t_icp
 
     if verification_mode in ("MCTS", "GREEDY"):

@@ -47,6 +47,13 @@ class _Node:
     n: int = 0
     virtual: int = 0
     hval: float = 0.0  # LCP heuristic of this placement
+    # Cached leaf cost for TERMINAL nodes (depth == K): a terminal node's
+    # assignment is fully determined, so its settle->render->cost is
+    # deterministic - re-descents back up the cached value host-side instead
+    # of re-evaluating the same batch row on device. (The reference
+    # re-simulates terminals every visit, UCTSearch.cpp:286-307 - identical
+    # values, wasted Bullet+GL; late search is dominated by such visits.)
+    cached_cost: Optional[float] = None
 
     def ucb(self, alpha: float, parent_n: int) -> float:
         n = self.n + self.virtual
@@ -242,11 +249,16 @@ class BatchedLeafEvaluator:
                 hull_mask[i, : len(hp)] = h["hull_mask"][: len(hp)]
                 he = h["hull_eqs"]
                 hull_eqs[i, : len(he)] = he
-                inv_inertia[i] = np.asarray(
-                    physics.box_inv_inertia(
-                        jnp.asarray(hull_pts[i]), jnp.asarray(hull_mask[i]),
-                        ph.object_mass,
-                    )
+                # Host-side numpy (NOT physics.box_inv_inertia): each jax
+                # call here is a synchronous ~31 ms device round trip on the
+                # axon backend, paid per object per evaluator construction.
+                valid = hull_pts[i][hull_mask[i]]
+                ext = np.maximum(valid.max(0) - valid.min(0), 1e-3)
+                m = ph.object_mass / 12.0
+                inv_inertia[i] = 1.0 / np.array(
+                    [m * (ext[1] ** 2 + ext[2] ** 2),
+                     m * (ext[0] ** 2 + ext[2] ** 2),
+                     m * (ext[0] ** 2 + ext[1] ** 2)], np.float32,
                 )
             return dict(
                 hull_pts=jnp.asarray(hull_pts),
@@ -282,7 +294,13 @@ class BatchedLeafEvaluator:
         self.hyp_world = jnp.asarray(hypotheses_world)
         self.table_pose = jnp.asarray(table_pose)
         self.cam_pose = jnp.asarray(cam_pose)
-        self.cam_pose_inv = jnp.asarray(np.asarray(se3.invert_pose(jnp.asarray(cam_pose))))
+        # Host numpy rigid inverse (a jax invert_pose + fetch here costs a
+        # ~31 ms axon round trip per evaluator construction).
+        cp = np.asarray(cam_pose, np.float64)
+        cp_inv = np.eye(4)
+        cp_inv[:3, :3] = cp[:3, :3].T
+        cp_inv[:3, 3] = -cp[:3, :3].T @ cp[:3, 3]
+        self.cam_pose_inv = jnp.asarray(cp_inv.astype(np.float32))
         s = render_scale
         self.h = cfg.render.height // s
         self.w = cfg.render.width // s
@@ -398,6 +416,17 @@ def _collect_batch(tree: _Tree, alpha: float, quota: int) -> List[tuple]:
             node = min(
                 node.children.values(), key=lambda ch: ch.ucb(alpha, parent_n)
             )
+        if node.depth == tree.k and node.cached_cost is not None:
+            # Deterministic terminal re-visit: back up the cached cost
+            # immediately, no device eval. (_backup pairs with a virtual-loss
+            # increment along the path, so add one first - net zero.)
+            cur = node
+            while cur is not None:
+                cur.virtual += 1
+                cur = cur.parent
+            _backup(tree, [(node, _assignment_of(tree, node, False))],
+                    [node.cached_cost])
+            continue
         if node.depth < tree.k:
             unexpanded = [i for i in range(tree.c) if i not in node.children]
             pick = max(unexpanded, key=lambda i: tree.hyp_scores[node.depth, i])
@@ -424,6 +453,8 @@ def _collect_batch(tree: _Tree, alpha: float, quota: int) -> List[tuple]:
 def _backup(tree: _Tree, pend: List[tuple], costs) -> None:
     for (node, choices), cost_v in zip(pend, costs):
         cost_v = float(cost_v)
+        if node.depth == tree.k and node.cached_cost is None:
+            node.cached_cost = cost_v
         if cost_v < tree.best_cost:
             tree.best_cost = cost_v
             tree.best_assign = choices.copy()
@@ -473,7 +504,13 @@ def uct_search(
         pend = [] if tree.done else _collect_batch(tree, mc.alpha, mc.leaf_batch)
         nxt = None
         if pend:
-            batch_choices = np.stack([p[1] for p in pend])
+            # Pad to the fixed leaf_batch (repeating row 0, results
+            # discarded): cached-terminal backups make pend length
+            # variable, and each distinct batch shape would be a fresh
+            # jit compile.
+            rows = [p[1] for p in pend]
+            rows += [rows[0]] * (mc.leaf_batch - len(rows))
+            batch_choices = np.stack(rows)
             costs_dev, _settled = evaluator.evaluate_async(
                 batch_choices, batch_choices >= 0
             )
@@ -686,15 +723,18 @@ def _scene_search_inputs(estimates, sc, db, cfg):
     hyp_world = np.zeros((k, c, 4, 4), np.float32)
     hyp_scores = np.zeros((k, c), np.float32)
     obj_hulls = []
-    cam = jnp.asarray(sc.cam_pose)
+    # Host numpy, one matmul per object - NOT per-hypothesis jax to_world
+    # calls: each np.asarray(jax op) is a synchronous ~31 ms axon round
+    # trip, and k*c of them (75 for a 3-object scene) dominated the whole
+    # MCTS stage (measured round 3).
+    cam = np.asarray(sc.cam_pose, np.float32)
     for i, est in enumerate(estimates):
         obj = db[est.name]
         n_h = min(c, len(est.hypothesis_scores))
-        for j in range(n_h):
-            hyp_world[i, j] = np.asarray(
-                se3.to_world(jnp.asarray(est.hypotheses[j]), cam)
-            )
-            hyp_scores[i, j] = est.hypothesis_scores[j]
+        if n_h > 0:
+            hyps_cam = np.asarray(est.hypotheses[:n_h], np.float32)
+            hyp_world[i, :n_h] = np.einsum("ij,njk->nik", cam, hyps_cam)
+            hyp_scores[i, :n_h] = est.hypothesis_scores[:n_h]
         for j in range(n_h, c):
             hyp_world[i, j] = hyp_world[i, 0]
             hyp_scores[i, j] = -1.0
@@ -712,12 +752,18 @@ def _scene_search_inputs(estimates, sc, db, cfg):
 
 def _install_assignment(estimates, assign, settled_row, cam):
     """Write the settled world poses of the chosen assignment back into the
-    per-object estimates (pose_cam recomputed through the camera)."""
-    cam_inv = se3.invert_pose(cam)
+    per-object estimates (pose_cam recomputed through the camera).
+
+    All host numpy: per-object jax compose calls would each pay the ~31 ms
+    axon dispatch round trip."""
+    cam = np.asarray(cam, np.float64)
+    cam_inv = np.eye(4)
+    cam_inv[:3, :3] = cam[:3, :3].T
+    cam_inv[:3, 3] = -cam[:3, :3].T @ cam[:3, 3]
     out = []
     for i, est in enumerate(estimates):
         pose_w = settled_row[i]
-        pose_cam = np.asarray(se3.compose(cam_inv, jnp.asarray(pose_w)))
+        pose_cam = (cam_inv @ np.asarray(pose_w, np.float64)).astype(np.float32)
         out.append(
             dataclasses.replace(
                 est,
@@ -765,7 +811,7 @@ def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
     choices = assign[None, :]
     active = np.ones((1, k), bool)
     _, settled = evaluator.evaluate_final(choices, active)
-    return _install_assignment(estimates, assign, settled[0], jnp.asarray(sc.cam_pose))
+    return _install_assignment(estimates, assign, settled[0], sc.cam_pose)
 
 
 def mcts_select_multi(scene_rows, db, cfg, seed=0):
@@ -815,7 +861,6 @@ def mcts_select_multi(scene_rows, db, cfg, seed=0):
     for si, (orig_i, (estimates, sc, _tp, _dc)) in enumerate(live):
         assign, _cost = results[si]
         out[orig_i] = _install_assignment(
-            estimates, assign, settled[si, : len(estimates)],
-            jnp.asarray(sc.cam_pose),
+            estimates, assign, settled[si, : len(estimates)], sc.cam_pose,
         )
     return out

@@ -60,16 +60,24 @@ def test_dryrun_multichip():
         "import __graft_entry__; __graft_entry__.dryrun_multichip(8);"
         "print('dryrun-ok')"
     )
+    last = None
     for attempt in range(2):
-        r = subprocess.run(
-            [sys.executable, "-c", script], capture_output=True, text=True,
-            timeout=900, cwd="/root/repo",
-        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", script], capture_output=True, text=True,
+                timeout=1500, cwd="/root/repo",
+            )
+        except subprocess.TimeoutExpired as e:
+            # A timeout is just the starved-host flake in its slowest form
+            # (cold compiles under CPU steal can exceed any fixed budget) -
+            # retry like any other failure instead of erroring out of the
+            # loop.
+            last = f"timeout after {e.timeout}s"
+            continue
         if r.returncode == 0 and "dryrun-ok" in r.stdout:
             return
-    raise AssertionError(
-        f"dryrun failed twice: rc={r.returncode}; stderr tail: {r.stderr[-1500:]}"
-    )
+        last = f"rc={r.returncode}; stderr tail: {r.stderr[-1500:]}"
+    raise AssertionError(f"dryrun failed twice: {last}")
 
 
 def test_entry_compiles():
