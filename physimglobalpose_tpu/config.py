@@ -119,7 +119,14 @@ class PhysicsConfig:
     gravity: float = -2.0
     steps: int = 60
     dt: float = 1.0 / 60.0
-    substeps: int = 4  # position-based solver substeps per step
+    # Position-based solver substeps per step. The sequential substep chain
+    # (steps x substeps), not the per-substep FLOPs, is what the vmapped MCTS
+    # leaf settle pays on TPU; 2 halves the r3 chain (240 -> 120) with the
+    # per-substep penetration bound still ~5 mm at the <=0.6 m/s impact
+    # speeds hypotheses reach. Gated by tests/test_physics.py,
+    # test_mcts_stacked.py, test_mcts_accuracy.py and the golden-scene e2e
+    # regression at this default.
+    substeps: int = 2
     damping: float = 0.99
     friction: float = 1.0
     restitution: float = 0.0

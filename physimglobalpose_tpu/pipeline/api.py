@@ -319,7 +319,12 @@ def estimate_pose(
             )
     timings["hypothesis_s"] = time.perf_counter() - t_hyp
 
-    if refine_final:
+    if refine_final and verification_mode not in ("MCTS", "GREEDY"):
+        # The physics-aware searches consume est.hypotheses + scores and
+        # OVERWRITE pose_cam/pose_world with the settled chosen assignment
+        # (_install_assignment), so a pre-search polish of the best-LCP pose
+        # is dead work there; the reference likewise feeds raw hypotheses to
+        # UCT (UCTSearch.cpp:56-88).
         from physimglobalpose_tpu.ops import icp as icp_mod
 
         with trace_span(tracer, "icp_refine"):
