@@ -52,11 +52,24 @@ def encode_depth(depth_m: np.ndarray, bit_rotated: bool = False) -> np.ndarray:
     return raw
 
 
-def read_depth_png(path: str, bit_rotated: bool = True) -> np.ndarray:
+def read_depth_png_raw(path: str, bit_rotated: bool = True) -> np.ndarray:
+    """16-bit depth PNG -> de-rotated uint16 codec values (meters * 10000).
+
+    The uint16 form is what goes over the host->device wire in batched
+    sweeps (2 bytes/px, decoded on device); keeping it from the original
+    decode avoids a float round-trip re-encode + equality check per batch.
+    """
     img = np.array(Image.open(path))
     if img.dtype != np.uint16:
         img = img.astype(np.uint16)
-    return decode_depth(img, bit_rotated=bit_rotated)
+    if bit_rotated:
+        img = rot16_left(img, 13)
+    return img
+
+
+def read_depth_png(path: str, bit_rotated: bool = True) -> np.ndarray:
+    raw = read_depth_png_raw(path, bit_rotated=bit_rotated)
+    return raw.astype(np.float32) / DEPTH_SCALE
 
 
 def write_depth_png(path: str, depth_m: np.ndarray, bit_rotated: bool = False) -> None:

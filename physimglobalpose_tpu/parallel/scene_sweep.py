@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from physimglobalpose_tpu.config import PipelineConfig, DEFAULT_CONFIG
-from physimglobalpose_tpu.geometry import depthio, se3
+from physimglobalpose_tpu.geometry import depthio
 from physimglobalpose_tpu.models.objectdb import ObjectDB
 from physimglobalpose_tpu.ops import icp as icp_mod
 from physimglobalpose_tpu.pipeline import hypothesis, scene as scene_mod, segmentation
@@ -140,8 +140,16 @@ def prepare_scenes(
     # the axon backend on a futex - but no jax is involved here anymore.)
     from concurrent.futures import ThreadPoolExecutor
 
+    # GT segmentation never reads the color image; skip its decode (the
+    # largest per-scene host decode, scripts/profile_prepare.py).
+    load_color = segmentation_mode != "GT"
     with ThreadPoolExecutor(max_workers=min(8, len(scene_dirs))) as pool:
-        scs = list(pool.map(lambda sd: scene_mod.load_scene(sd, dataset=dataset), scene_dirs))
+        scs = list(
+            pool.map(
+                lambda sd: scene_mod.load_scene(sd, dataset=dataset, load_color=load_color),
+                scene_dirs,
+            )
+        )
     shape0 = scs[0].depth.shape
     assert all(sc.depth.shape == shape0 for sc in scs), "mixed depth sizes"
 
@@ -156,17 +164,23 @@ def prepare_scenes(
         seg_keys_per_scene.append(seg_keys)
         gen_keys_per_scene.append(jax.random.split(seg_keys[-1], len(sc.object_names)))
 
-    # Depth upload: the codec values are uint16 (depth = raw / 10000, see
-    # geometry/depthio.py), so when the floats reconstruct exactly - always,
-    # for PNG-loaded scenes - ship 2 bytes/px and decode on device.
-    depth_np = np.stack([sc.depth for sc in scs])
-    raw16 = np.round(depth_np * depthio.DEPTH_SCALE)
-    if np.array_equal(
-        raw16.astype(np.uint16).astype(np.float32) / depthio.DEPTH_SCALE, depth_np
-    ):
-        depths = jnp.asarray(raw16.astype(np.uint16)).astype(jnp.float32) / depthio.DEPTH_SCALE
+    # Depth upload: ship 2 bytes/px and decode on device. PNG-loaded scenes
+    # carry the original uint16 codec values (depth == raw16 / 10000 exactly,
+    # geometry/depthio.py); array-built scenes (scene_from_arrays) fall back
+    # to a float round-trip check per batch.
+    if all(sc.depth_raw16 is not None for sc in scs):
+        depths = jnp.asarray(np.stack([sc.depth_raw16 for sc in scs])).astype(
+            jnp.float32
+        ) / depthio.DEPTH_SCALE
     else:
-        depths = jnp.asarray(depth_np)
+        depth_np = np.stack([sc.depth for sc in scs])
+        raw16 = np.round(depth_np * depthio.DEPTH_SCALE)
+        if np.array_equal(
+            raw16.astype(np.uint16).astype(np.float32) / depthio.DEPTH_SCALE, depth_np
+        ):
+            depths = jnp.asarray(raw16.astype(np.uint16)).astype(jnp.float32) / depthio.DEPTH_SCALE
+        else:
+            depths = jnp.asarray(depth_np)
     intrs = jnp.stack([jnp.asarray(sc.intrinsics) for sc in scs])
     kt = jnp.stack(k_tables)
     depth_clean_b, _planes, table_poses = jax.vmap(
@@ -302,23 +316,25 @@ def sweep_scenes(
     )
     prep_s = time.perf_counter() - t0
 
-    # Flatten (scene, object) jobs.
+    # Flatten (scene, object) jobs. Object clouds are host numpy: stack them
+    # on the host and upload ONCE per array (the previous per-job
+    # jnp.asarray + device jnp.stack issued ~4 uploads per job through the
+    # axon tunnel). Segments are already stacked per scene on device, so the
+    # job axis is one concatenate per leaf, not J slice+restack dispatches.
     job_names: List[tuple] = []  # (scene_idx, obj_idx, name)
     tables = []
     search_pts, search_mask, val_pts, val_nrm = [], [], [], []
     keys = []
-    segs_flat = []
     for si, pj in enumerate(prepared):
         for oi, name in enumerate(pj.names):
             obj = db[name]
             job_names.append((si, oi, name))
             tables.append(obj.ppf_table)
-            search_pts.append(jnp.asarray(obj.search_pts))
-            search_mask.append(jnp.asarray(obj.search_mask))
-            val_pts.append(jnp.asarray(obj.validation_pts))
-            val_nrm.append(jnp.asarray(obj.validation_nrm))
+            search_pts.append(obj.search_pts)
+            search_mask.append(obj.search_mask)
+            val_pts.append(obj.validation_pts)
+            val_nrm.append(obj.validation_nrm)
             keys.append(pj.gen_keys[oi])
-            segs_flat.append(jax.tree.map(lambda x: x[oi], pj.segs))
     j = len(job_names)
     if j == 0:
         return {}
@@ -334,14 +350,19 @@ def sweep_scenes(
         val_pts.append(val_pts[0])
         val_nrm.append(val_nrm[0])
         keys.append(keys[0])
-        segs_flat.append(segs_flat[0])
 
-    segs = jax.tree.map(lambda *xs: jnp.stack(xs), *segs_flat)
+    per_scene_segs = [pj.segs for pj in prepared]
+    if pad:
+        pad_segs = jax.tree.map(
+            lambda x: jnp.repeat(x[:1], pad, axis=0), prepared[0].segs
+        )
+        per_scene_segs.append(pad_segs)
+    segs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *per_scene_segs)
     stacked_tables = hypothesis.stack_object_tables(tables)
-    msp = jnp.stack(search_pts)
-    msm = jnp.stack(search_mask)
-    mvp = jnp.stack(val_pts)
-    mvn = jnp.stack(val_nrm)
+    msp = jnp.asarray(np.stack(search_pts))
+    msm = jnp.asarray(np.stack(search_mask))
+    mvp = jnp.asarray(np.stack(val_pts))
+    mvn = jnp.asarray(np.stack(val_nrm))
     keys_arr = jax.random.wrap_key_data(jnp.asarray(np.stack(keys)))
 
     if mesh is not None:
@@ -401,8 +422,10 @@ def sweep_scenes(
     per_scene: Dict[int, List[ObjectPoseEstimate]] = {i: [] for i in range(len(prepared))}
     for row, (si, oi, name) in enumerate(job_names):
         pj = prepared[si]
-        cam = jnp.asarray(pj.sc.cam_pose)
-        pw = np.asarray(se3.to_world(jnp.asarray(pose_cam[row]), cam))
+        # to_world is a 4x4 matmul; both operands are already host arrays.
+        # Doing it in numpy avoids a ~31 ms device round trip PER JOB
+        # through the axon tunnel (to_world semantics: cam_pose @ pose_cam).
+        pw = np.asarray(pj.sc.cam_pose, np.float32) @ pose_cam[row]
         per_scene[si].append(
             ObjectPoseEstimate(
                 name=name,

@@ -39,6 +39,10 @@ class Scene:
     table_pose: Optional[np.ndarray] = None  # [4, 4] from gt_info rest_surface
     dependency_order: Optional[list] = None
     gt_poses: Optional[Dict[str, np.ndarray]] = None
+    # De-rotated uint16 codec values (depth == raw16 / 10000 exactly) kept
+    # from the PNG decode; batched sweeps upload these 2-byte values and
+    # decode on device instead of re-encoding the float image per batch.
+    depth_raw16: Optional[np.ndarray] = None
 
 
 def _pose_from_tq(vals) -> np.ndarray:
@@ -65,17 +69,31 @@ def _pose_from_tq(vals) -> np.ndarray:
     return pose
 
 
-def load_scene(scene_dir: str, dataset: str = "APC", frame: str = "frame-000000") -> Scene:
-    """Load a reference-layout scene directory."""
+def load_scene(
+    scene_dir: str,
+    dataset: str = "APC",
+    frame: str = "frame-000000",
+    load_color: bool = True,
+) -> Scene:
+    """Load a reference-layout scene directory.
+
+    load_color=False skips the color PNG decode (the largest host decode);
+    GT-segmentation sweeps never read it.
+    """
     with open(os.path.join(scene_dir, "gt_info.yml")) as fh:
         info = yaml.safe_load(fh)
     cam = info["camera"]
     intr = np.asarray(cam["camera_intrinsics"], np.float32)
     cam_pose = _pose_from_tq(cam["camera_pose"])
-    color = depthio.read_color_png(os.path.join(scene_dir, f"{frame}.color.png"))
-    depth = depthio.read_depth_png(
+    color = (
+        depthio.read_color_png(os.path.join(scene_dir, f"{frame}.color.png"))
+        if load_color
+        else None
+    )
+    depth_raw16 = depthio.read_depth_png_raw(
         os.path.join(scene_dir, f"{frame}.depth.png"), bit_rotated=(dataset == "APC")
     )
+    depth = depth_raw16.astype(np.float32) / depthio.DEPTH_SCALE
     mask_path = os.path.join(scene_dir, f"{frame}.mask.png")
     class_mask = depthio.read_class_mask_png(mask_path) if os.path.exists(mask_path) else None
 
@@ -106,6 +124,7 @@ def load_scene(scene_dir: str, dataset: str = "APC", frame: str = "frame-000000"
         table_pose=table_pose,
         dependency_order=sc.get("dependency_order"),
         gt_poses=gt_poses,
+        depth_raw16=depth_raw16,
     )
 
 

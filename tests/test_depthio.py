@@ -68,3 +68,33 @@ def test_png_roundtrip_apc_rotated(tmp_path):
     depthio.write_depth_png(path, depth, bit_rotated=True)
     back = depthio.read_depth_png(path, bit_rotated=True)
     np.testing.assert_allclose(back, depth, atol=1e-4)
+
+
+def test_read_depth_png_raw_matches_decoded(tmp_path):
+    # The uint16 fast path sweeps ship to the device must reconstruct the
+    # float image exactly: depth == raw16 / 10000 for both codecs.
+    depth = np.random.default_rng(2).uniform(0.1, 1.9, size=(12, 20)).astype(np.float32)
+    for rotated in (False, True):
+        path = str(tmp_path / f"d{int(rotated)}.png")
+        depthio.write_depth_png(path, depth, bit_rotated=rotated)
+        raw = depthio.read_depth_png_raw(path, bit_rotated=rotated)
+        assert raw.dtype == np.uint16
+        back = depthio.read_depth_png(path, bit_rotated=rotated)
+        np.testing.assert_array_equal(
+            raw.astype(np.float32) / depthio.DEPTH_SCALE, back
+        )
+
+
+def test_load_scene_raw16_and_skip_color():
+    from physimglobalpose_tpu.pipeline import scene as scene_mod
+
+    sc = scene_mod.load_scene("/root/reference/test-scene", dataset="APC")
+    assert sc.depth_raw16 is not None and sc.depth_raw16.dtype == np.uint16
+    np.testing.assert_array_equal(
+        sc.depth_raw16.astype(np.float32) / depthio.DEPTH_SCALE, sc.depth
+    )
+    sc2 = scene_mod.load_scene(
+        "/root/reference/test-scene", dataset="APC", load_color=False
+    )
+    assert sc2.color is None
+    np.testing.assert_array_equal(sc2.depth, sc.depth)
