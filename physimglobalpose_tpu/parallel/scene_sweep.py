@@ -252,6 +252,12 @@ def prepare_scenes(
     ofs = 0
     depth_clean_out = np.asarray(depth_clean_b) if fetch_depth else depth_clean_b
     table_poses_np = np.asarray(table_poses)
+    # One fetch for every scene's generation keys (a per-scene np.asarray
+    # here was S small synchronous transfers through the axon tunnel).
+    gen_keys_flat = np.asarray(
+        jnp.concatenate([jax.random.key_data(g) for g in gen_keys_per_scene])
+    )
+    kofs = 0
     for si, sc in enumerate(scs):
         k = len(sc.object_names)
         segs = jax.tree.map(lambda x: x[ofs : ofs + k], segs_all)
@@ -262,11 +268,12 @@ def prepare_scenes(
                 sc=sc,
                 names=list(sc.object_names),
                 segs=segs,
-                gen_keys=np.asarray(jax.random.key_data(gen_keys_per_scene[si])),
+                gen_keys=gen_keys_flat[kofs : kofs + k],
                 table_pose=table_poses_np[si],
                 depth_clean=depth_clean_out[si],
             )
         )
+        kofs += k
     return out
 
 
