@@ -153,8 +153,10 @@ class MCTSConfig:
     # Leaf-render downscale factor: the leaf evaluator renders at
     # (height/render_scale, width/render_scale). The reference renders full
     # 640x480 meshes per node (UCTState.cpp:23,93-116); scale 4 (160x120) is
-    # the measured default - see tests/test_mcts_render_fidelity.py for the
-    # scale-1-vs-4 ranking A/B that justifies it.
+    # the measured default: the stacked + decoy regressions run at scale 1
+    # (tests/test_mcts_stacked.py, tests/test_mcts.py) and the clutter ADD-S
+    # regression at the scale-4 default (tests/test_mcts_accuracy.py) - both
+    # scales recover the correct assignments (ROUND3_NOTES.md item 4).
     render_scale: int = 4
     # Search-time contact-hull budget: the leaf evaluator re-decimates each
     # object's convex hull to at most this many vertices (farthest-point

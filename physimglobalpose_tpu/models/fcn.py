@@ -253,8 +253,10 @@ def load_shipped_predictor(input_size=(640, 640), variant: str = "small"):
     the full NN-segmentation loop with no external inputs. Swap in a
     real-data checkpoint via the same .npz format for production use.
 
-    variant: "small" (default, 2.1 M-param 16s - fast) or "full" (the
-    reference's full-width FCN_Vgg16_32s, IoU comparison in ROUND3_NOTES.md).
+    variant: "small" (default, 2.1 M-param width-scaled 16s - fast) or
+    "full" (full-width 134 M-param AtrousFCN_Vgg16_16s; the reference's
+    literal FCN_Vgg16_32s was trained too but measured worse - see
+    _SHIPPED_CKPTS above and the IoU table in ROUND3_NOTES.md).
     """
     path = shipped_checkpoint_path(variant)
     if not os.path.exists(path):

@@ -201,17 +201,23 @@ def prepare_scenes(
             if sc.class_mask is None:
                 raise ValueError("GT segmentation needs a class mask")
         masks_np = np.stack([sc.class_mask for sc in scs])
-        masks_dev = jnp.asarray(
-            masks_np.astype(np.uint8)
-            if masks_np.max(initial=0) < 256 and masks_np.min(initial=0) >= 0
-            else masks_np.astype(np.int32)
-        )
         job_cid: List[int] = []
         for si, sc in enumerate(scs):
             for oi, o in enumerate(sc.object_names):
                 job_scene.append(si)
                 job_cid.append(db.class_of(o))
                 job_keys.append(seg_keys_per_scene[si][oi])
+        # uint8 upload only when BOTH the mask values and the compared class
+        # ids fit - a class id >= 256 cast to uint8 would wrap and can alias
+        # a different class present in the mask.
+        u8_ok = (
+            masks_np.min(initial=0) >= 0
+            and masks_np.max(initial=0) < 256
+            and all(0 <= c < 256 for c in job_cid)
+        )
+        masks_dev = jnp.asarray(
+            masks_np.astype(np.uint8) if u8_ok else masks_np.astype(np.int32)
+        )
         sidx = jnp.asarray(np.asarray(job_scene))
         cids = jnp.asarray(np.asarray(job_cid, dtype=masks_dev.dtype))
         jkeys = jnp.stack(job_keys)
@@ -404,7 +410,11 @@ def sweep_scenes(
     top_tf, top_scores = jax.vmap(_topk)(res.scores, res.transforms)
 
     pose_cam = res.best_transform  # lcp_select semantics: best-scoring pose
-    if refine_final:
+    # The pre-search ICP polish is dead work for MCTS: the search consumes
+    # est.hypotheses (raw, as the reference feeds UCT - UCTSearch.cpp:56-88)
+    # and _install_assignment overwrites pose_cam/pose_world with the settled
+    # chosen assignment. Same guard as api.estimate_pose.
+    if refine_final and verification_mode != "MCTS":
         def refine_one(tf, mvp_i, mvn_i, seg_i):
             out = icp_mod.refine_icp(
                 tf[None], mvp_i[:1024], mvn_i[:1024], seg_i.pts, seg_i.mask,

@@ -54,6 +54,12 @@ class _Node:
     # re-simulates terminals every visit, UCTSearch.cpp:286-307 - identical
     # values, wasted Bullet+GL; late search is dominated by such visits.)
     cached_cost: Optional[float] = None
+    # True once this subtree is fully enumerated (terminal: cost cached;
+    # internal: all C children exist and are exhausted). A search whose ROOT
+    # is exhausted has evaluated every reachable assignment - further rounds
+    # would only re-back-up cached values, so it terminates early instead of
+    # spinning until the wall-clock deadline.
+    exhausted: bool = False
 
     def ucb(self, alpha: float, parent_n: int) -> float:
         n = self.n + self.virtual
@@ -450,11 +456,25 @@ def _collect_batch(tree: _Tree, alpha: float, quota: int) -> List[tuple]:
     return pend
 
 
+def _mark_exhausted(tree: _Tree, node: _Node) -> None:
+    """Propagate subtree exhaustion from a newly-cached terminal upward."""
+    node.exhausted = True
+    cur = node.parent
+    while (
+        cur is not None
+        and len(cur.children) == tree.c
+        and all(ch.exhausted for ch in cur.children.values())
+    ):
+        cur.exhausted = True
+        cur = cur.parent
+
+
 def _backup(tree: _Tree, pend: List[tuple], costs) -> None:
     for (node, choices), cost_v in zip(pend, costs):
         cost_v = float(cost_v)
         if node.depth == tree.k and node.cached_cost is None:
             node.cached_cost = cost_v
+            _mark_exhausted(tree, node)
         if cost_v < tree.best_cost:
             tree.best_cost = cost_v
             tree.best_assign = choices.copy()
@@ -501,7 +521,8 @@ def uct_search(
     # compute (UCTSearch's serial expand->settle->render loop, pipelined).
     inflight = None  # (pend, device costs)
     while time.monotonic() < deadline:
-        pend = [] if tree.done else _collect_batch(tree, mc.alpha, mc.leaf_batch)
+        finished = tree.done or tree.root.exhausted
+        pend = [] if finished else _collect_batch(tree, mc.alpha, mc.leaf_batch)
         nxt = None
         if pend:
             # Pad to the fixed leaf_batch (repeating row 0, results
@@ -520,7 +541,20 @@ def uct_search(
             _backup(tree, prev_pend, np.asarray(prev_costs))
         inflight = nxt
         if inflight is None:
-            break
+            if finished:
+                break
+            # Transient cached-terminal-only round: every descent this round
+            # backed up a cached cost host-side (shifting the UCB stats)
+            # without producing device work. Budget remains and the tree is
+            # not exhausted, so keep searching - breaking here would forfeit
+            # the remaining expansions.
+            continue
+
+    # Deadline exit can leave one dispatched batch un-backed-up; its device
+    # work is already done, and the best assignment may be in it.
+    if inflight is not None:
+        prev_pend, prev_costs = inflight
+        _backup(tree, prev_pend, np.asarray(prev_costs))
 
     return tree.best_assign, tree.best_cost
 
@@ -667,8 +701,12 @@ def uct_search_multi(
     k_max = msev.k_max
     batch = mc.leaf_batch
 
+    _EMPTY_ROUND = object()  # cached-terminal-only round: keep searching
+
     def collect_round():
-        live = [si for si, t in enumerate(trees) if not t.done]
+        live = [
+            si for si, t in enumerate(trees) if not (t.done or t.root.exhausted)
+        ]
         if not live:
             return None
         quota = max(1, batch // len(live))
@@ -684,7 +722,9 @@ def uct_search_multi(
                 rows_scene.append(si)
                 rows_choices.append(row)
         if not rows_choices:
-            return None
+            # Every live tree's descents hit cached terminals this round -
+            # host-side backups only (see uct_search's transient case).
+            return _EMPTY_ROUND
         n_real = len(rows_choices)
         pad = (-n_real) % batch  # fixed batch-size multiples -> stable jit shapes
         for _ in range(pad):
@@ -696,21 +736,32 @@ def uct_search_multi(
         )
         return pend_per_scene, costs_dev
 
+    def backup_round(round_result):
+        pend_per_scene, costs_dev = round_result
+        costs = np.asarray(costs_dev)
+        ofs = 0
+        for si, pend in pend_per_scene:
+            _backup(trees[si], pend, costs[ofs : ofs + len(pend)])
+            ofs += len(pend)
+
     # Same double-buffered overlap as uct_search: next round's tree policy
     # runs while the device executes the current one.
     inflight = None
     while time.monotonic() < deadline:
         nxt = collect_round()
         if inflight is not None:
-            pend_per_scene, costs_dev = inflight
-            costs = np.asarray(costs_dev)
-            ofs = 0
-            for si, pend in pend_per_scene:
-                _backup(trees[si], pend, costs[ofs : ofs + len(pend)])
-                ofs += len(pend)
+            backup_round(inflight)
+        if nxt is _EMPTY_ROUND:
+            inflight = None
+            continue
         inflight = nxt
         if inflight is None:
             break
+
+    # Deadline exit: drain the final dispatched batch (its device work is
+    # already done; the best assignment of some scene may be in it).
+    if inflight is not None:
+        backup_round(inflight)
 
     return [(t.best_assign, t.best_cost) for t in trees]
 

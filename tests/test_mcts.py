@@ -130,6 +130,53 @@ def test_uct_search_picks_matching_hypothesis(setup):
     assert assign[0] == 1
 
 
+def test_tree_exhaustion_terminates_enumeration():
+    # k=1, c=3: the whole assignment space is 3 terminals. Once all three are
+    # cached the root must be marked exhausted so the search stops instead of
+    # re-backing-up cached costs until the wall-clock deadline.
+    tree = mcts._make_tree(
+        np.array([[0.9, 0.5, 0.8]], np.float32), k=1, c=3, budget=100, seed=0
+    )
+    pend = mcts._collect_batch(tree, alpha=5000.0, quota=3)
+    assert len(pend) == 3 and not tree.root.exhausted
+    mcts._backup(tree, pend, [2.0, 1.0, 3.0])
+    assert tree.root.exhausted
+    assert all(ch.exhausted for ch in tree.root.children.values())
+    # Best assignment is the min-cost terminal (pend row 1, cost 1.0).
+    assert tree.best_cost == 1.0
+    assert tree.best_assign[0] == pend[1][1][0]
+
+
+def test_deadline_drains_final_inflight_batch(setup, monkeypatch):
+    # Deadline expiry with a dispatched-but-not-backed-up batch: the batch's
+    # device work is done, so its results must be drained - losing it can
+    # return a strictly worse assignment than the search evaluated.
+    cfg, obj, obs, true_pose, table_pose, cam_pose = setup
+    decoy = true_pose.copy()
+    decoy[:3, 3] = [0.07, 0.05, 0.89]
+    decoy2 = true_pose.copy()
+    decoy2[:3, 3] = [-0.06, 0.03, 0.95]
+    hyps = np.stack([decoy, true_pose, decoy2])[None]  # truth at slot 1
+    ev = mcts.BatchedLeafEvaluator(
+        [obj], hyps, obs, K_INTR, cam_pose, table_pose, cfg, render_scale=1
+    )
+    hyp_scores = np.array([[0.9, 0.5, 0.8]], np.float32)
+
+    # time.monotonic: deadline computation + first loop check pass, then the
+    # clock jumps past the deadline -> exactly one batch is dispatched and
+    # the loop exits with it in flight.
+    import time as _time
+
+    t0 = _time.monotonic()
+    seq = iter([t0, t0])
+    monkeypatch.setattr(mcts.time, "monotonic", lambda: next(seq, t0 + 1e9))
+    assign, best_cost = mcts.uct_search(ev, hyp_scores, cfg, seed=0)
+    # Without the drain, best_assign stays the argmax-LCP initialization
+    # (the decoy, slot 0) and best_cost stays inf.
+    assert np.isfinite(best_cost)
+    assert assign[0] == 1
+
+
 def test_multi_scene_search_matches_single(setup):
     # Two copies of the decoy scene with the true pose at different choice
     # slots: the shared-dispatch multi-scene search must recover both, and
