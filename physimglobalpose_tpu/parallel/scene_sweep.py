@@ -42,7 +42,12 @@ class _SceneJobs:
     sc: object  # Scene
     names: List[str]
     segs: object  # Segment3D stacked [K, ...]
-    gen_keys: np.ndarray  # [K, 2] raw key data (jax.random.key_data)
+    # [K, 2] raw key data (jax.random.key_data). A DEVICE array slice when
+    # prepared with fetch_meta=False: the keys are only re-uploaded for the
+    # generation program, so fetching them costs a pointless ~31 ms axon
+    # round trip per batch (LCP sweeps skip it).
+    gen_keys: np.ndarray
+    # [4, 4]; device when fetch_meta=False (only MCTS reads it on host).
     table_pose: np.ndarray
     # [H, W] table-removed depth (MCTS leaf obs). May be a device array when
     # prepared with fetch_depth=False (LCP sweeps never read it; fetching
@@ -114,6 +119,7 @@ def prepare_scenes(
     nn_predictor=None,
     detector=None,
     fetch_depth: bool = True,
+    fetch_meta: bool = True,
 ) -> List[_SceneJobs]:
     """Batched preprocessing of MANY scenes: one device program per stage.
 
@@ -257,12 +263,20 @@ def prepare_scenes(
     out: List[_SceneJobs] = []
     ofs = 0
     depth_clean_out = np.asarray(depth_clean_b) if fetch_depth else depth_clean_b
-    table_poses_np = np.asarray(table_poses)
-    # One fetch for every scene's generation keys (a per-scene np.asarray
-    # here was S small synchronous transfers through the axon tunnel).
-    gen_keys_flat = np.asarray(
-        jnp.concatenate([jax.random.key_data(g) for g in gen_keys_per_scene])
+    # fetch_meta=False keeps the per-scene metadata on device (lazy slices):
+    # LCP sweeps only re-upload the generation keys and never read the table
+    # pose on host, and each np.asarray here is a SYNCHRONOUS axon round trip
+    # that also waits out everything queued before it - with both removed the
+    # whole prepare is async dispatch, so a pipelined sweep can overlap it
+    # with the previous chunk's device program.
+    table_poses_np = np.asarray(table_poses) if fetch_meta else table_poses
+    gen_keys_flat = jnp.concatenate(
+        [jax.random.key_data(g) for g in gen_keys_per_scene]
     )
+    if fetch_meta:
+        # One fetch for every scene's generation keys (a per-scene np.asarray
+        # here was S small synchronous transfers through the axon tunnel).
+        gen_keys_flat = np.asarray(gen_keys_flat)
     kofs = 0
     for si, sc in enumerate(scs):
         k = len(sc.object_names)
@@ -289,55 +303,33 @@ def _job_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def sweep_scenes(
+def _dispatch_jobs(
     mesh: Optional[Mesh],
-    scene_dirs: Sequence[str],
+    prepared: List[_SceneJobs],
     db: ObjectDB,
-    dataset: str = "APC",
-    segmentation_mode: str = "GT",
-    hypothesis_mode: str = "PCS",
-    cfg: PipelineConfig = DEFAULT_CONFIG,
-    seed: int = 0,
-    top_k: int = 25,
-    refine_final: bool = True,
-    use_pallas: bool | None = None,
-    nn_predictor=None,
-    detector=None,
-    verification_mode: str = "LCP",
-) -> Dict[str, PoseEstimationResult]:
-    """Estimate poses for many scenes with jobs sharded over the mesh.
-
-    verification_mode="LCP": the sweep's single device program is generation
-    + scoring + refinement. verification_mode="MCTS" additionally runs the
-    physics-aware searches of ALL scenes concurrently through one
-    MultiSceneLeafEvaluator (pipeline/mcts.py) - pending leaves from every
-    scene's tree share each settle+render dispatch, completing BASELINE
-    config 5 for the MCTS configuration as well. Returns
-    {scene_dir: PoseEstimationResult} with the same per-object contents as
-    api.estimate_pose(..., verification_mode=...).
+    cfg: PipelineConfig,
+    gen_mode: str,
+    top_k: int,
+    do_refine: bool,
+    use_pallas: bool | None,
+) -> dict:
+    """Flatten (scene, object) jobs and dispatch generation + scoring (+
+    refinement) for one batch of prepared scenes. NO synchronous fetches:
+    every device value is left lazy and the results are packed into ONE
+    array handle, so (a) finalizing costs a single axon round trip instead
+    of four, and (b) a pipelined caller can overlap the next chunk's host
+    preprocessing + uploads with this chunk's device program (transfers and
+    kernels overlap on the axon backend - scripts/r3_sweep_overlap_probe.py
+    measured both ~= max, not sum).
     """
-    gen_modes = {"PCS": "stocs", "CONGRUENT_SET_MATCHING": "stocs",
-                 "SUPER4PCS": "super4pcs", "V4PCS": "v4pcs"}
-    if hypothesis_mode not in gen_modes:
-        raise ValueError(f"unsupported sweep hypothesis mode {hypothesis_mode!r}")
-
-    t0 = time.perf_counter()
-    prepared = prepare_scenes(
-        scene_dirs, db, dataset=dataset, segmentation_mode=segmentation_mode,
-        cfg=cfg, seed=seed, nn_predictor=nn_predictor, detector=detector,
-        fetch_depth=(verification_mode == "MCTS"),
-    )
-    prep_s = time.perf_counter() - t0
-
-    # Flatten (scene, object) jobs. Object clouds are host numpy: stack them
-    # on the host and upload ONCE per array (the previous per-job
-    # jnp.asarray + device jnp.stack issued ~4 uploads per job through the
-    # axon tunnel). Segments are already stacked per scene on device, so the
-    # job axis is one concatenate per leaf, not J slice+restack dispatches.
+    # Object clouds are host numpy: stack them on the host and upload ONCE
+    # per array (the previous per-job jnp.asarray + device jnp.stack issued
+    # ~4 uploads per job through the axon tunnel). Segments are already
+    # stacked per scene on device, so the job axis is one concatenate per
+    # leaf, not J slice+restack dispatches.
     job_names: List[tuple] = []  # (scene_idx, obj_idx, name)
     tables = []
     search_pts, search_mask, val_pts, val_nrm = [], [], [], []
-    keys = []
     for si, pj in enumerate(prepared):
         for oi, name in enumerate(pj.names):
             obj = db[name]
@@ -347,10 +339,10 @@ def sweep_scenes(
             search_mask.append(obj.search_mask)
             val_pts.append(obj.validation_pts)
             val_nrm.append(obj.validation_nrm)
-            keys.append(pj.gen_keys[oi])
     j = len(job_names)
     if j == 0:
-        return {}
+        return dict(job_names=job_names, prepared=prepared, packed=None,
+                    top_k=top_k)
 
     # Pad the job axis to a multiple of the mesh size (repeat job 0; padded
     # rows are computed and discarded).
@@ -362,7 +354,6 @@ def sweep_scenes(
         search_mask.append(search_mask[0])
         val_pts.append(val_pts[0])
         val_nrm.append(val_nrm[0])
-        keys.append(keys[0])
 
     per_scene_segs = [pj.segs for pj in prepared]
     if pad:
@@ -376,7 +367,19 @@ def sweep_scenes(
     msm = jnp.asarray(np.stack(search_mask))
     mvp = jnp.asarray(np.stack(val_pts))
     mvn = jnp.asarray(np.stack(val_nrm))
-    keys_arr = jax.random.wrap_key_data(jnp.asarray(np.stack(keys)))
+    # Generation keys: per-scene [K, 2] key-data rows concatenate in job
+    # order (host numpy when prepared with fetch_meta=True, lazy device
+    # slices otherwise - identical values either way).
+    key_parts = [pj.gen_keys for pj in prepared]
+    if isinstance(key_parts[0], np.ndarray):
+        flat_keys = jnp.asarray(np.concatenate(key_parts, axis=0))
+    else:
+        flat_keys = jnp.concatenate(key_parts, axis=0)
+    if pad:
+        flat_keys = jnp.concatenate(
+            [flat_keys, jnp.repeat(flat_keys[:1], pad, axis=0)], axis=0
+        )
+    keys_arr = jax.random.wrap_key_data(flat_keys)
 
     if mesh is not None:
         def put(x, ndim=None):
@@ -395,10 +398,9 @@ def sweep_scenes(
             max_dist_mm=stacked_tables.max_dist_mm,
         )
 
-    t1 = time.perf_counter()
     res = hypothesis.generate_hypotheses_jobs(
         keys_arr, segs, msp, msm, stacked_tables, mvp, mvn, cfg,
-        use_pallas=use_pallas, mode=gen_modes[hypothesis_mode],
+        use_pallas=use_pallas, mode=gen_mode,
     )
 
     # Selection (LCP mode: best hypothesis is the pose) + top-k + refinement,
@@ -410,11 +412,7 @@ def sweep_scenes(
     top_tf, top_scores = jax.vmap(_topk)(res.scores, res.transforms)
 
     pose_cam = res.best_transform  # lcp_select semantics: best-scoring pose
-    # The pre-search ICP polish is dead work for MCTS: the search consumes
-    # est.hypotheses (raw, as the reference feeds UCT - UCTSearch.cpp:56-88)
-    # and _install_assignment overwrites pose_cam/pose_world with the settled
-    # chosen assignment. Same guard as api.estimate_pose.
-    if refine_final and verification_mode != "MCTS":
+    if do_refine:
         def refine_one(tf, mvp_i, mvn_i, seg_i):
             out = icp_mod.refine_icp(
                 tf[None], mvp_i[:1024], mvn_i[:1024], seg_i.pts, seg_i.mask,
@@ -429,15 +427,37 @@ def sweep_scenes(
         # estimate_pose skips refinement for degenerate (score<=0) segments.
         pose_cam = jnp.where((res.best_score > 0)[:, None, None], refined, pose_cam)
 
-    pose_cam = np.asarray(pose_cam)
-    best_score = np.asarray(res.best_score)
-    top_tf = np.asarray(top_tf)
-    top_scores = np.asarray(top_scores)
-    device_s = time.perf_counter() - t1
+    # Pack everything the host consumes into one [J, 17 + 17*top_k] array:
+    # one fetch instead of four synchronous ~31 ms axon round trips.
+    packed = jnp.concatenate(
+        [
+            pose_cam[:j].reshape(j, 16),
+            res.best_score[:j, None],
+            top_tf[:j].reshape(j, top_k * 16),
+            top_scores[:j],
+        ],
+        axis=1,
+    )
+    return dict(job_names=job_names, prepared=prepared, packed=packed,
+                top_k=top_k)
 
-    out: Dict[str, PoseEstimationResult] = {}
-    per_scene: Dict[int, List[ObjectPoseEstimate]] = {i: [] for i in range(len(prepared))}
-    for row, (si, oi, name) in enumerate(job_names):
+
+def _finalize_jobs(state: dict) -> Dict[int, List[ObjectPoseEstimate]]:
+    """Fetch a dispatched batch's packed results (ONE transfer) and build
+    the per-scene estimate lists."""
+    prepared = state["prepared"]
+    per_scene: Dict[int, List[ObjectPoseEstimate]] = {
+        i: [] for i in range(len(prepared))
+    }
+    if state["packed"] is None:
+        return per_scene
+    top_k = state["top_k"]
+    packed = np.asarray(state["packed"])  # the single synchronous fetch
+    pose_cam = packed[:, :16].reshape(-1, 4, 4)
+    best_score = packed[:, 16]
+    top_tf = packed[:, 17 : 17 + 16 * top_k].reshape(-1, top_k, 4, 4)
+    top_scores = packed[:, 17 + 16 * top_k :]
+    for row, (si, oi, name) in enumerate(state["job_names"]):
         pj = prepared[si]
         # to_world is a 4x4 matmul; both operands are already host arrays.
         # Doing it in numpy avoids a ~31 ms device round trip PER JOB
@@ -453,8 +473,120 @@ def sweep_scenes(
                 hypothesis_scores=top_scores[row],
             )
         )
+    return per_scene
+
+
+def sweep_scenes(
+    mesh: Optional[Mesh],
+    scene_dirs: Sequence[str],
+    db: ObjectDB,
+    dataset: str = "APC",
+    segmentation_mode: str = "GT",
+    hypothesis_mode: str = "PCS",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    seed: int = 0,
+    top_k: int = 25,
+    refine_final: bool = True,
+    use_pallas: bool | None = None,
+    nn_predictor=None,
+    detector=None,
+    verification_mode: str = "LCP",
+    pipeline_chunks: int = 1,
+) -> Dict[str, PoseEstimationResult]:
+    """Estimate poses for many scenes with jobs sharded over the mesh.
+
+    verification_mode="LCP": the sweep's single device program is generation
+    + scoring + refinement. verification_mode="MCTS" additionally runs the
+    physics-aware searches of ALL scenes concurrently through one
+    MultiSceneLeafEvaluator (pipeline/mcts.py) - pending leaves from every
+    scene's tree share each settle+render dispatch, completing BASELINE
+    config 5 for the MCTS configuration as well. Returns
+    {scene_dir: PoseEstimationResult} with the same per-object contents as
+    api.estimate_pose(..., verification_mode=...).
+
+    pipeline_chunks > 1 (LCP mode only) splits the scene list into that many
+    chunks and overlaps chunk i+1's host preprocessing + uploads with chunk
+    i's device program (results are identical - jobs are independent and the
+    per-scene PRNG flow is fixed). The axon backend executes transfers and
+    kernels concurrently (scripts/r3_sweep_overlap_probe.py), so steady-state
+    throughput approaches max(host, device) instead of their sum. MCTS
+    sweeps ignore the knob: their searches already share device dispatches
+    across ALL scenes, which chunking would serialize.
+    """
+    gen_modes = {"PCS": "stocs", "CONGRUENT_SET_MATCHING": "stocs",
+                 "SUPER4PCS": "super4pcs", "V4PCS": "v4pcs"}
+    if hypothesis_mode not in gen_modes:
+        raise ValueError(f"unsupported sweep hypothesis mode {hypothesis_mode!r}")
+    if verification_mode not in ("LCP", "MCTS"):
+        raise ValueError(f"unsupported sweep verification mode {verification_mode!r}")
+    is_mcts = verification_mode == "MCTS"
+    prep_kwargs = dict(
+        dataset=dataset, segmentation_mode=segmentation_mode, cfg=cfg,
+        seed=seed, nn_predictor=nn_predictor, detector=detector,
+        fetch_depth=is_mcts, fetch_meta=is_mcts,
+    )
+    dispatch_kwargs = dict(
+        db=db, cfg=cfg, gen_mode=gen_modes[hypothesis_mode], top_k=top_k,
+        # The pre-search ICP polish is dead work for MCTS: the search
+        # consumes est.hypotheses (raw, as the reference feeds UCT -
+        # UCTSearch.cpp:56-88) and _install_assignment overwrites
+        # pose_cam/pose_world with the settled chosen assignment. Same
+        # guard as api.estimate_pose.
+        do_refine=refine_final and not is_mcts,
+        use_pallas=use_pallas,
+    )
+
+    if pipeline_chunks > 1 and not is_mcts and len(scene_dirs) > 1:
+        t0 = time.perf_counter()
+        idx_chunks = [
+            list(b)
+            for b in np.array_split(
+                np.arange(len(scene_dirs)), min(pipeline_chunks, len(scene_dirs))
+            )
+            if len(b)
+        ]
+        out: Dict[str, PoseEstimationResult] = {}
+        scene_lists: List[List[tuple]] = []  # (scene_dir, estimates)
+        inflight = None
+        for idxs in idx_chunks + [None]:
+            state = None
+            if idxs is not None:
+                chunk_prepared = prepare_scenes(
+                    [scene_dirs[i] for i in idxs], db, **prep_kwargs
+                )
+                state = _dispatch_jobs(mesh, chunk_prepared, **dispatch_kwargs)
+            if inflight is not None:
+                per_scene = _finalize_jobs(inflight)
+                for si, pj in enumerate(inflight["prepared"]):
+                    scene_lists.append((pj.scene_dir, per_scene[si]))
+            inflight = state
+        total = time.perf_counter() - t0
+        n_scenes = max(len(scene_lists), 1)
+        timings = {
+            "preprocess_s": 0.0,  # overlapped with device work by design
+            "device_s": total / n_scenes,
+            "mcts_s": 0.0,
+            "scenes_per_sec": n_scenes / total,
+            "pipelined": True,
+            "pipeline_chunks": len(idx_chunks),
+        }
+        for sd, estimates in scene_lists:
+            out[sd] = PoseEstimationResult(objects=estimates, timings=dict(timings))
+        return out
+
+    t0 = time.perf_counter()
+    prepared = prepare_scenes(scene_dirs, db, **prep_kwargs)
+    prep_s = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    state = _dispatch_jobs(mesh, prepared, **dispatch_kwargs)
+    if state["packed"] is None:
+        return {}
+    per_scene = _finalize_jobs(state)
+    device_s = time.perf_counter() - t1
+
     mcts_s = 0.0
-    if verification_mode == "MCTS":
+    if is_mcts:
         from physimglobalpose_tpu.pipeline import mcts as mcts_mod
 
         t2 = time.perf_counter()
@@ -466,9 +598,8 @@ def sweep_scenes(
         for si in per_scene:
             per_scene[si] = refined_rows[si]
         mcts_s = time.perf_counter() - t2
-    elif verification_mode != "LCP":
-        raise ValueError(f"unsupported sweep verification mode {verification_mode!r}")
 
+    out = {}
     n_scenes = len(prepared)
     for si, pj in enumerate(prepared):
         out[pj.scene_dir] = PoseEstimationResult(

@@ -95,14 +95,39 @@ def main():
     # Warm with the SAME job count (the sweep's device program shape depends
     # on the number of jobs; warming with 1 scene would leave the n-job
     # program compiling inside the timed region).
+    # All sweep rows are best-of-repeat like the serial rows: single samples
+    # on this steal-heavy host vary ~2x and are not a regression signal.
+    def timed_best(fn):
+        best_dt, best_res = float("inf"), None
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            res = fn()
+            dt = time.perf_counter() - t0
+            if dt < best_dt:
+                best_dt, best_res = dt, res
+        return best_dt, best_res
+
     scene_sweep.sweep_scenes(None, sweep_dirs, db, dataset="APC", cfg=CFG)
-    t0 = time.perf_counter()
-    resn = scene_sweep.sweep_scenes(None, sweep_dirs, db, dataset="APC", cfg=CFG)
-    dt = time.perf_counter() - t0
+    dt, resn = timed_best(lambda: scene_sweep.sweep_scenes(
+        None, sweep_dirs, db, dataset="APC", cfg=CFG))
     out["lcp_sweep_scenes_per_sec"] = round(n / dt, 3)
     out["lcp_sweep_batch"] = n
     first = resn[sweep_dirs[0]]
     out["lcp_sweep_timings"] = {k: round(v, 3) for k, v in first.timings.items()}
+
+    # Pipelined sweep: chunk i+1's host preprocessing + uploads overlap
+    # chunk i's device program (transfers and kernels run concurrently on
+    # the axon backend - scripts/r3_sweep_overlap_probe.py).
+    for chunks in (2, 4):
+        scene_sweep.sweep_scenes(
+            None, sweep_dirs, db, dataset="APC", cfg=CFG,
+            pipeline_chunks=chunks,
+        )  # warm the per-chunk program shape
+        dt, _ = timed_best(lambda: scene_sweep.sweep_scenes(
+            None, sweep_dirs, db, dataset="APC", cfg=CFG,
+            pipeline_chunks=chunks,
+        ))
+        out[f"lcp_sweep_pipelined{chunks}_scenes_per_sec"] = round(n / dt, 3)
 
     # --- whole-scene MCTS ---
     if not args.skip_mcts:
@@ -130,12 +155,10 @@ def main():
             None, sweep_dirs, db, dataset="APC", cfg=CFG,
             verification_mode="MCTS",
         )
-        t0 = time.perf_counter()
-        resm = scene_sweep.sweep_scenes(
+        dt, _ = timed_best(lambda: scene_sweep.sweep_scenes(
             None, sweep_dirs, db, dataset="APC", cfg=CFG,
             verification_mode="MCTS",
-        )
-        dt = time.perf_counter() - t0
+        ))
         out["mcts_sweep_scenes_per_sec"] = round(n / dt, 3)
         out["mcts_sweep_seconds_per_scene"] = round(dt / n, 3)
 

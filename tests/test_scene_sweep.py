@@ -85,6 +85,34 @@ def test_evaluate_scenes_sharded_logs(db, mesh8, tmp_path):
     assert agg2["scenes"] == 1.0
 
 
+def test_pipelined_sweep_matches_unchunked(db, tmp_path):
+    # pipeline_chunks=2 overlaps chunk i+1's preprocessing/uploads with
+    # chunk i's device program; per-scene results must match the unchunked
+    # sweep (jobs are independent, per-scene PRNG flow is fixed).
+    scene_b = str(tmp_path / "scene_b")
+    shutil.copytree(SCENE, scene_b)
+    plain = scene_sweep.sweep_scenes(
+        None, [SCENE, scene_b], db, dataset="APC",
+        segmentation_mode="GT", cfg=SMALL_CFG, seed=0,
+    )
+    piped = scene_sweep.sweep_scenes(
+        None, [SCENE, scene_b], db, dataset="APC",
+        segmentation_mode="GT", cfg=SMALL_CFG, seed=0, pipeline_chunks=2,
+    )
+    assert set(piped) == set(plain) == {SCENE, scene_b}
+    for sd in plain:
+        a, b = plain[sd], piped[sd]
+        assert [o.name for o in a.objects] == [o.name for o in b.objects]
+        for oa, ob in zip(a.objects, b.objects):
+            # Chunked batches change the job-batch size -> float
+            # reassociation can flip a borderline LCP inlier (1/1024).
+            np.testing.assert_allclose(ob.score, oa.score, atol=3e-3)
+            np.testing.assert_allclose(ob.pose_cam, oa.pose_cam, atol=5e-4)
+            np.testing.assert_allclose(ob.pose_world, oa.pose_world, atol=5e-4)
+        assert b.timings["pipelined"] is True
+        assert b.timings["scenes_per_sec"] > 0
+
+
 def test_batched_prepare_matches_serial(db):
     # prepare_scenes (one vmapped program per stage) must reproduce the
     # serial prepare_scene exactly: same per-scene key flow, so table pose,
