@@ -98,10 +98,12 @@ def main():
     )
 
     def score_step(tfs):
-        # Tuned r3 on v5e (scripts/r3_perf_experiments.py + r3_lcp_micro.py):
-        # bf16 UNWEIGHTED coarse ranking on a 2x-strided segment and NV=256
-        # validation subsample (exact-top-64 survival 64/64 on the clutter
-        # workload), segment-stationary Pallas ICP (ops/icp.py
+        # Tuned r3 on v5e (scripts/r3_perf_experiments.py + r3_lcp_micro.py
+        # + r3_coarse_experiments.py): bf16 UNWEIGHTED coarse ranking on a
+        # 4x-strided segment and NV=256 validation subsample (exact-top-64
+        # survival 64/64 on the clutter workload at seg stride 4; NV=128
+        # drops to 63/64 and NV=64 fails 58/64 - NV=256 is the margin),
+        # segment-stationary Pallas ICP (ops/icp.py
         # _icp_corr_kernel_segside) at bf16 with per-iteration
         # correspondences, two-tier fine rescoring (bf16
         # bulk + exact fp32 top-64). top_k=256 refine budget: the reference
@@ -113,7 +115,7 @@ def main():
         out = scoring.score_refine_pipeline(
             tfs, model_m, nrm_m, model_v, nrm_v,
             seg, seg_nrm, seg_prob, seg_mask,
-            top_k=256, coarse_subsample=16, coarse_seg_stride=2,
+            top_k=256, coarse_subsample=16, coarse_seg_stride=4,
             icp_iters=ICP_ITERS, icp_subsample=2,
             use_pallas=on_tpu,
             coarse_precision="default" if on_tpu else None,
@@ -136,7 +138,9 @@ def main():
     # then amortizes across the batches exactly as it does in production
     # streaming, instead of being paid per batch as a serial
     # dispatch-fetch-dispatch loop would.
-    pipe = 4 if on_tpu else 1
+    # pipe=8 measured (scripts/r3_stage_profile.py): the fixed ~31 ms round
+    # trip amortizes to ~3.9 ms/batch; deeper (16) buys only ~6% more.
+    pipe = 8 if on_tpu else 1
     iters = 5 if on_tpu else 1
     times = []
     for i in range(iters):
@@ -160,7 +164,7 @@ def main():
             {
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
-                "unit": f"hyp/s (coarse-LCP@256/seg2 -> ICP-{ICP_ITERS}it@512 top-256 -> fine-LCP@4k, H=16384 x{pipe} pipelined, {variant})",
+                "unit": f"hyp/s (coarse-LCP@256/seg4 -> ICP-{ICP_ITERS}it@512 top-256 -> fine-LCP@4k, H=16384 x{pipe} pipelined, {variant})",
                 "vs_baseline": round(hyps_per_sec / baseline_hyps_per_sec(clutter), 2),
             }
         )

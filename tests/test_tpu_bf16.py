@@ -47,7 +47,7 @@ def test_bf16_production_path_ranking_fidelity(clutter):
     prod = scoring.score_refine_pipeline(
         tfs, model_m, nrm_m, model_v, nrm_v,
         seg, seg_nrm, seg_prob, seg_mask,
-        top_k=256, coarse_subsample=16, coarse_seg_stride=2,
+        top_k=256, coarse_subsample=16, coarse_seg_stride=4,
         coarse_precision="default", coarse_weighted=False,
         fine_precision="default", fine_exact_k=64,
         icp_precision="default", icp_nn_refresh=2, **common,
