@@ -487,6 +487,102 @@ def _lcp_kernel_segside(
     jax.lax.fori_loop(0, th, one_hypothesis, 0)
 
 
+def _lcp_kernel_segside_hb(
+    tr_ref,  # SMEM [HB, 128]: cols 0:12 = row-major (R | t) per hypothesis
+    modelT_ref,  # VMEM [128, nvp]: rows 0:3 coords, 3 pad marker, 4:7 normals
+    segcat_ref,  # VMEM [Ns, 128]: same pack as _lcp_kernel_segside
+    out_ref,  # VMEM [HB, 128]
+    *,
+    delta: float,
+    cos_gate: float,
+    weighted: bool,
+    total_nv: int,
+    precision=None,
+):
+    """Hypothesis-batched segment-stationary kernel (small models only).
+
+    The per-hypothesis [Ns, 128] @ [128, nvp] matmul of _lcp_kernel_segside
+    is tiny at coarse shapes (nvp=256): MXU launch latency and the b-build
+    dominate (~6 ms measured for 16384 hyps vs a ~0.7 ms FLOP floor,
+    scripts/r3_stage_profile.py). Here ALL HB hypotheses of the grid block
+    pack side-by-side in the lane axis - b1 is [128, HB*nvp] with hypothesis
+    hb's transformed model in lanes hb*nvp:(hb+1)*nvp - so each grid program
+    issues ONE wide matmul, and the per-hypothesis work that remains is pure
+    VPU row math. Reductions stay lane-major: min down the segment (sublane)
+    axis, then per-hypothesis static lane-chunk sums.
+    """
+    hb = tr_ref.shape[0]
+    nvp = modelT_ref.shape[1]
+    lowp = precision == jax.lax.Precision.DEFAULT
+    mm_dtype = jnp.bfloat16 if lowp else jnp.float32
+
+    a_seg = segcat_ref[:, :].astype(mm_dtype)  # [Ns, 128]
+    prob_col = segcat_ref[:, 8:9]  # [Ns, 1]
+
+    mx = modelT_ref[0:1, :]  # [1, nvp]
+    my = modelT_ref[1:2, :]
+    mz = modelT_ref[2:3, :]
+    pad = modelT_ref[3:4, :]
+    nx = modelT_ref[4:5, :]
+    ny = modelT_ref[5:6, :]
+    nz = modelT_ref[6:7, :]
+
+    rows_ux, rows_uy, rows_uz, rows_usq = [], [], [], []
+    rows_nx, rows_ny, rows_nz = [], [], []
+    for hi in range(hb):
+        r = [tr_ref[hi, k] for k in range(12)]
+        r00, r01, r02, t0 = r[0], r[1], r[2], r[3]
+        r10, r11, r12, t1 = r[4], r[5], r[6], r[7]
+        r20, r21, r22, t2 = r[8], r[9], r[10], r[11]
+        ux = r00 * mx + r01 * my + r02 * mz + t0
+        uy = r10 * mx + r11 * my + r12 * mz + t1
+        uz = r20 * mx + r21 * my + r22 * mz + t2
+        rows_ux.append(-2.0 * ux)
+        rows_uy.append(-2.0 * uy)
+        rows_uz.append(-2.0 * uz)
+        rows_usq.append(ux * ux + uy * uy + uz * uz + pad)
+        if weighted:
+            rows_nx.append(r00 * nx + r01 * ny + r02 * nz)
+            rows_ny.append(r10 * nx + r11 * ny + r12 * nz)
+            rows_nz.append(r20 * nx + r21 * ny + r22 * nz)
+
+    wide = hb * nvp
+    cat = lambda rows: jnp.concatenate(rows, axis=1).astype(mm_dtype)
+    b1 = jnp.concatenate(
+        [cat(rows_ux), cat(rows_uy), cat(rows_uz),
+         jnp.ones((1, wide), mm_dtype), cat(rows_usq),
+         jnp.zeros((123, wide), mm_dtype)], axis=0,
+    )  # [128, HB*nvp]
+    d2 = jax.lax.dot_general(
+        a_seg, b1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [Ns, HB*nvp]
+
+    m = jnp.min(d2, axis=0, keepdims=True)  # [1, HB*nvp]
+    within_f = (m <= delta * delta).astype(jnp.float32)
+    if weighted:
+        b2 = jnp.concatenate(
+            [jnp.zeros((5, wide), mm_dtype), cat(rows_nx), cat(rows_ny),
+             cat(rows_nz), jnp.zeros((120, wide), mm_dtype)], axis=0)
+        ndot = jax.lax.dot_general(
+            a_seg, b2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        is_best = (d2 <= m).astype(jnp.float32)
+        prob_best = jnp.max(prob_col * is_best, axis=0, keepdims=True)
+        dot_best = jnp.max(
+            jnp.abs(ndot) * is_best - (1.0 - is_best), axis=0, keepdims=True
+        )
+        gate_f = (dot_best >= cos_gate).astype(jnp.float32)
+        contrib = within_f * gate_f * prob_best  # [1, HB*nvp]
+    else:
+        contrib = within_f
+
+    for hi in range(hb):
+        partial = jnp.sum(contrib[:, hi * nvp : (hi + 1) * nvp]) / total_nv
+        out_ref[pl.ds(hi, 1), :] = jnp.full((1, 128), partial, jnp.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("delta", "normal_gate_deg", "weighted", "matmul_precision"),
@@ -526,11 +622,20 @@ def lcp_scores_pallas_segside(
     pad_ns = (-ns) % 128
     h_tile = 8
     pad_h = (-h) % h_tile
-    # VMEM budget: d2 + ndot live blocks are [ns, nv_tile] f32 x2, plus the
-    # [128, nv_tile] b1/b2 operand builds (the +256 term) - together <= ~8 MB.
-    # nv_tile is rounded down to a multiple of 128 (Mosaic block-shape rule).
-    nv_tile = min(nv, max(512, ((1 << 20) // (ns + pad_ns + 256)) // 128 * 128))
+    # VMEM budget: d2 + ndot live blocks are [ns, lanes] f32 x2, plus the
+    # [128, lanes] b1/b2 operand builds (the +256 term) - together <= ~8 MB.
+    # Rounded down to a multiple of 128 (Mosaic block-shape rule).
+    budget_lanes = max(512, ((1 << 20) // (ns + pad_ns + 256)) // 128 * 128)
+    nv_tile = min(nv, budget_lanes)
     pad_nv = (-nv) % nv_tile
+
+    # Hypothesis-batched fast path: when 8 whole (128-padded) model tiles fit
+    # in the lane budget, the h_tile=8 block computes in ONE wide matmul
+    # (see _lcp_kernel_segside_hb) instead of 8 tiny per-hypothesis ones.
+    # This is the coarse-ranking shape (nv=256 after subsampling): measured
+    # MXU-launch + b-build overhead dominated the per-hypothesis formulation.
+    nvp128 = nv + ((-nv) % 128)
+    hyp_batched = nvp128 * h_tile <= budget_lanes
 
     tr16 = jnp.concatenate(
         [transforms, jnp.broadcast_to(jnp.eye(4), (pad_h, 4, 4))], axis=0
@@ -538,7 +643,8 @@ def lcp_scores_pallas_segside(
     tr = jnp.zeros((tr16.shape[0], 128), jnp.float32).at[:, 0:12].set(tr16[:, 0:12])
 
     # Lane-major model pack: [128, Nv] rows = (x, y, z, pad, nx, ny, nz).
-    modelT = jnp.zeros((128, nv + pad_nv), jnp.float32)
+    model_cols = nvp128 if hyp_batched else nv + pad_nv
+    modelT = jnp.zeros((128, model_cols), jnp.float32)
     modelT = (
         modelT.at[0:3, :nv].set(model_pts.T)
         .at[3, nv:].set(1e9)
@@ -554,6 +660,32 @@ def lcp_scores_pallas_segside(
         .at[:ns, 5:8].set(seg_nrm)
         .at[:ns, 8].set(seg_prob)
     )
+
+    if hyp_batched:
+        out = pl.pallas_call(
+            functools.partial(
+                _lcp_kernel_segside_hb,
+                delta=delta,
+                cos_gate=math.cos(math.radians(normal_gate_deg)),
+                weighted=weighted,
+                total_nv=nv,
+                precision=_PRECISIONS[matmul_precision],
+            ),
+            out_shape=jax.ShapeDtypeStruct((h + pad_h, 128), jnp.float32),
+            grid=((h + pad_h) // h_tile,),
+            in_specs=[
+                pl.BlockSpec((h_tile, 128), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((128, nvp128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ns + pad_ns, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (h_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        )(tr, modelT, segcat)
+        return out[:h, 0]
 
     out = pl.pallas_call(
         functools.partial(

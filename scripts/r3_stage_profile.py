@@ -61,7 +61,7 @@ def main():
     print(f"backend={jax.default_backend()} H={h} top_k={k} pipe={PIPE}")
 
     prod = dict(
-        top_k=k, coarse_subsample=16, coarse_seg_stride=2,
+        top_k=k, coarse_subsample=16, coarse_seg_stride=4,
         icp_iters=bench.ICP_ITERS, icp_subsample=2,
         use_pallas=on_tpu,
         coarse_precision="default" if on_tpu else None,
@@ -73,8 +73,8 @@ def main():
 
     # --- stage: coarse (production flags) ---
     coarse_pts, coarse_nrm = model_v[::16], nrm_v[::16]
-    c_seg, c_nrm = seg[::2], seg_nrm[::2]
-    c_prob, c_mask = seg_prob[::2], seg_mask[::2]
+    c_seg, c_nrm = seg[::4], seg_nrm[::4]
+    c_prob, c_mask = seg_prob[::4], seg_mask[::4]
 
     @jax.jit
     def coarse_fn(t):
@@ -85,7 +85,7 @@ def main():
         )
 
     t_coarse = timed_pipeline(coarse_fn, tfs)
-    print(f"coarse bf16 NV=256/seg2 xH : {t_coarse*1e3:7.2f} ms/batch")
+    print(f"coarse bf16 NV=256/seg4 xH : {t_coarse*1e3:7.2f} ms/batch")
 
     # --- stage: ICP segside bf16 on top-256 ---
     top_tfs = tfs[:k]

@@ -150,8 +150,49 @@ def test_score_refine_pipeline(rng):
     assert np.linalg.norm(best[:3, 3] - pose[:3, 3]) < 0.01
 
 
+def test_segside_tiled_interpret_matches_xla(rng):
+    # Model larger than the lane budget: the per-hypothesis formulation with
+    # model tiles streaming via the grid (the fine-stage shape). At
+    # ns=768(+pad 256) the budget is 1024 lanes, so nv=2048 runs two tiles
+    # and the hypothesis-batched fast path (which needs 8 whole model tiles
+    # in the budget) cannot trigger.
+    import functools
+    from unittest import mock
+
+    model, mn, seg_pts, seg_nrm, seg_prob, pose = make_scene(
+        rng, n_model=2048, n_seg=768
+    )
+    mask = np.ones(len(seg_pts), bool)
+    mask[-16:] = False
+    args = (
+        jnp.asarray(np.stack([pose, np.eye(4, dtype=np.float32)])),
+        jnp.asarray(model), jnp.asarray(mn), jnp.asarray(seg_pts),
+        jnp.asarray(seg_nrm), jnp.asarray(seg_prob), jnp.asarray(mask),
+    )
+    want = np.asarray(lcp.lcp_scores_xla(*args))
+    want_u = np.asarray(lcp.lcp_scores_xla(*args, weighted=False))
+    from jax.experimental import pallas as pl
+
+    orig_call = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig_call, interpret=True)):
+        got = np.asarray(lcp.lcp_scores_pallas_segside.__wrapped__(*args))
+        got_u = np.asarray(
+            lcp.lcp_scores_pallas_segside.__wrapped__(*args, weighted=False)
+        )
+    # Unweighted depends only on the (exact) min distance - must match.
+    np.testing.assert_allclose(got_u, want_u, atol=1e-5)
+    # Weighted: the kernel's documented tie-break (max prob across
+    # exactly-tied NN, here also across tiles) can pick a different equal-
+    # distance neighbor than XLA's argmin for isolated points; allow a
+    # couple of points' worth of probability (2/nv).
+    np.testing.assert_allclose(got, want, atol=2.0 / 2048)
+
+
 def test_segside_interpret_matches_xla(rng):
-    # The segment-stationary production kernel in interpreter mode.
+    # The segment-stationary production kernel in interpreter mode. At this
+    # shape (nv=128 padded, ns=96) 8 model copies fit the lane budget, so
+    # this exercises the hypothesis-batched wide-matmul path
+    # (_lcp_kernel_segside_hb) - the production coarse-ranking dispatch.
     import functools
     from unittest import mock
 
