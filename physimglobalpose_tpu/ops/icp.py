@@ -279,6 +279,7 @@ def _icp_corr_kernel_segside(
     *,
     max_corr_dist: float,
     precision=None,
+    pair: bool = True,  # False forces hb=1 (kept testable at small shapes)
 ):
     """Segment-stationary ICP correspondence + normal-equation accumulation.
 
@@ -310,6 +311,13 @@ def _icp_corr_kernel_segside(
     lowp = precision == jax.lax.Precision.DEFAULT
     mm_dtype = jnp.bfloat16 if lowp else jnp.float32
 
+    # Hypothesis pairing: the d2 and accT matmuls of two hypotheses pack
+    # side-by-side in the lane axis (the _lcp_kernel_segside_hb trick at
+    # HB=2 - bounded by the [Spad, HB*Nm] f32 d2 block in VMEM), halving
+    # MXU launches of the two big matmuls per pass. Per-hypothesis work
+    # (reductions, weights, the tiny G matmul) stays lane-chunk sliced.
+    hb = 2 if (pair and th % 2 == 0 and spad * nm * 2 <= (1 << 21)) else 1
+
     # bf16 casts hoisted out of the per-hypothesis loop (same overhead fix
     # as _lcp_kernel_segside: native bf16 MXU inputs, no per-matmul
     # conversion of the big stationary operands).
@@ -322,77 +330,96 @@ def _icp_corr_kernel_segside(
     nx = modelT_ref[4:5, :]
     ny = modelT_ref[5:6, :]
     nz = modelT_ref[6:7, :]
-    ones_row = jnp.ones((1, nm), jnp.float32)
     sigma2 = (max_corr_dist * 0.5) ** 2
 
-    def one_hypothesis(hi, _):
-        r = [tr_ref[hi, k] for k in range(12)]
-        r00, r01, r02, t0 = r[0], r[1], r[2], r[3]
-        r10, r11, r12, t1 = r[4], r[5], r[6], r[7]
-        r20, r21, r22, t2 = r[8], r[9], r[10], r[11]
+    def one_group(gi, _):
+        rows = []  # per-hypothesis transformed-model rows
+        for k in range(hb):
+            hi = gi * hb + k
+            r = [tr_ref[hi, kk] for kk in range(12)]
+            r00, r01, r02, t0 = r[0], r[1], r[2], r[3]
+            r10, r11, r12, t1 = r[4], r[5], r[6], r[7]
+            r20, r21, r22, t2 = r[8], r[9], r[10], r[11]
 
-        ux = r00 * mx + r01 * my + r02 * mz + t0  # [1, Nm]
-        uy = r10 * mx + r11 * my + r12 * mz + t1
-        uz = r20 * mx + r21 * my + r22 * mz + t2
-        usq = ux * ux + uy * uy + uz * uz + pad
-        unx = r00 * nx + r01 * ny + r02 * nz
-        uny = r10 * nx + r11 * ny + r12 * nz
-        unz = r20 * nx + r21 * ny + r22 * nz
+            ux = r00 * mx + r01 * my + r02 * mz + t0  # [1, Nm]
+            uy = r10 * mx + r11 * my + r12 * mz + t1
+            uz = r20 * mx + r21 * my + r22 * mz + t2
+            usq = ux * ux + uy * uy + uz * uz + pad
+            unx = r00 * nx + r01 * ny + r02 * nz
+            uny = r10 * nx + r11 * ny + r12 * nz
+            unz = r20 * nx + r21 * ny + r22 * nz
+            rows.append((ux, uy, uz, usq, unx, uny, unz))
 
+        wide = hb * nm
+        cat = lambda xs: (
+            jnp.concatenate(xs, axis=1) if hb > 1 else xs[0]
+        ).astype(mm_dtype)
         b1 = jnp.concatenate(
-            [(-2.0 * ux).astype(mm_dtype), (-2.0 * uy).astype(mm_dtype),
-             (-2.0 * uz).astype(mm_dtype), ones_row.astype(mm_dtype),
-             usq.astype(mm_dtype), jnp.zeros((123, nm), mm_dtype)], axis=0,
-        )  # [128, Nm]
+            [cat([-2.0 * r[0] for r in rows]), cat([-2.0 * r[1] for r in rows]),
+             cat([-2.0 * r[2] for r in rows]), jnp.ones((1, wide), mm_dtype),
+             cat([r[3] for r in rows]), jnp.zeros((123, wide), mm_dtype)],
+            axis=0,
+        )  # [128, HB*Nm]
         d2 = jax.lax.dot_general(
             a_seg, b1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        )  # [Spad, Nm]
+        )  # [Spad, HB*Nm]
 
-        mind2 = jnp.min(d2, axis=1, keepdims=True)  # [Spad, 1]
-        # Welsch robust weights; invalid/padded segment rows carry |s|^2=1e9
-        # so their mind2 is huge and the in-range gate zeroes them.
-        in_range = mind2 <= max_corr_dist * max_corr_dist
-        w = jnp.where(in_range, jnp.exp(-mind2 / (2.0 * sigma2)), 0.0)
-        is_best = (d2 <= mind2).astype(jnp.float32)
-        ties = jnp.sum(is_best, axis=1, keepdims=True)
-        wonehot = is_best * (w / jnp.maximum(ties, 1.0))  # [Spad, Nm]
+        # Per-hypothesis NN + Welsch weights on lane chunks; invalid/padded
+        # segment rows carry |s|^2=1e9 so their mind2 is huge and the
+        # in-range gate zeroes them.
+        chunks = []
+        for k in range(hb):
+            d2k = d2[:, k * nm : (k + 1) * nm]
+            mind2 = jnp.min(d2k, axis=1, keepdims=True)  # [Spad, 1]
+            in_range = mind2 <= max_corr_dist * max_corr_dist
+            w = jnp.where(in_range, jnp.exp(-mind2 / (2.0 * sigma2)), 0.0)
+            is_best = (d2k <= mind2).astype(jnp.float32)
+            ties = jnp.sum(is_best, axis=1, keepdims=True)
+            chunks.append((is_best * (w / jnp.maximum(ties, 1.0))).astype(mm_dtype))
+        wonehot = jnp.concatenate(chunks, axis=1) if hb > 1 else chunks[0]
 
         # accT rows: 0:3 = S (weighted matched segment-point sums), 4 = W.
         accT = jax.lax.dot_general(
-            seg_t, wonehot.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            seg_t, wonehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        )  # [128, Nm]
-        sx_r = accT[0:1, :]
-        sy_r = accT[1:2, :]
-        sz_r = accT[2:3, :]
-        w_r = accT[4:5, :]
+        )  # [128, HB*Nm]
 
-        # Jacobian columns (model side, transformed frame): c = u x un, un.
-        c1 = uy * unz - uz * uny
-        c2 = uz * unx - ux * unz
-        c3 = ux * uny - uy * unx
-        pn = ux * unx + uy * uny + uz * unz  # u . un per model point
-        g = w_r * pn - (unx * sx_r + uny * sy_r + unz * sz_r)  # [1, Nm]
+        for k in range(hb):
+            (ux, uy, uz, usq, unx, uny, unz) = rows[k]
+            sx_r = accT[0:1, k * nm : (k + 1) * nm]
+            sy_r = accT[1:2, k * nm : (k + 1) * nm]
+            sz_r = accT[2:3, k * nm : (k + 1) * nm]
+            w_r = accT[4:5, k * nm : (k + 1) * nm]
 
-        m8 = jnp.concatenate(
-            [c1, c2, c3, unx, uny, unz, jnp.zeros((2, nm), jnp.float32)], axis=0
-        )  # [8, Nm]
-        n128 = jnp.concatenate(
-            [w_r * c1, w_r * c2, w_r * c3, w_r * unx, w_r * uny, w_r * unz,
-             g, jnp.zeros((121, nm), jnp.float32)], axis=0,
-        )  # [128, Nm]
-        gmat = jax.lax.dot_general(
-            m8.astype(mm_dtype), n128.astype(mm_dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [8, 128]
-        out_ref[pl.ds(hi * 8, 8), :] = gmat
+            # Jacobian columns (model side, transformed frame): c = u x un, un.
+            c1 = uy * unz - uz * uny
+            c2 = uz * unx - ux * unz
+            c3 = ux * uny - uy * unx
+            pn = ux * unx + uy * uny + uz * unz  # u . un per model point
+            g = w_r * pn - (unx * sx_r + uny * sy_r + unz * sz_r)  # [1, Nm]
+
+            m8 = jnp.concatenate(
+                [c1, c2, c3, unx, uny, unz, jnp.zeros((2, nm), jnp.float32)],
+                axis=0,
+            )  # [8, Nm]
+            n128 = jnp.concatenate(
+                [w_r * c1, w_r * c2, w_r * c3, w_r * unx, w_r * uny, w_r * unz,
+                 g, jnp.zeros((121, nm), jnp.float32)], axis=0,
+            )  # [128, Nm]
+            gmat = jax.lax.dot_general(
+                m8.astype(mm_dtype), n128.astype(mm_dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # [8, 128]
+            out_ref[pl.ds((gi * hb + k) * 8, 8), :] = gmat
         return 0
 
-    jax.lax.fori_loop(0, th, one_hypothesis, 0)
+    jax.lax.fori_loop(0, th // hb, one_group, 0)
 
 
-def _icp_segside_pass(transforms, segcat, segT, modelT, max_corr_dist, precision):
+def _icp_segside_pass(transforms, segcat, segT, modelT, max_corr_dist, precision,
+                      pair=True):
     """One correspondence pass -> (A [H,6,6], b [H,6]).
 
     transforms are already in the centered frame (see refine_icp_pallas_segside).
@@ -411,6 +438,7 @@ def _icp_segside_pass(transforms, segcat, segT, modelT, max_corr_dist, precision
             _icp_corr_kernel_segside,
             max_corr_dist=max_corr_dist,
             precision=precision,
+            pair=pair,
         ),
         out_shape=jax.ShapeDtypeStruct(((h + pad_h) * 8, 128), jnp.float32),
         grid=((h + pad_h) // h_tile,),
@@ -432,7 +460,9 @@ def _icp_segside_pass(transforms, segcat, segT, modelT, max_corr_dist, precision
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "max_corr_dist", "matmul_precision")
+    jax.jit,
+    static_argnames=("iters", "max_corr_dist", "matmul_precision",
+                     "pair_hypotheses"),
 )
 def refine_icp_pallas_segside(
     transforms: jnp.ndarray,  # [H, 4, 4]
@@ -443,6 +473,7 @@ def refine_icp_pallas_segside(
     iters: int = 6,
     max_corr_dist: float = 0.02,
     matmul_precision: str | None = None,
+    pair_hypotheses: bool = True,
 ) -> jnp.ndarray:
     """Segment-stationary Pallas point-to-plane ICP (see _icp_corr_kernel_segside).
 
@@ -497,7 +528,8 @@ def refine_icp_pallas_segside(
     precision = _ICP_PRECISIONS[matmul_precision]
 
     def step(tfs, _):
-        a, b = _icp_segside_pass(tfs, segcat, segT, modelT, max_corr_dist, precision)
+        a, b = _icp_segside_pass(tfs, segcat, segT, modelT, max_corr_dist,
+                                 precision, pair=pair_hypotheses)
         a = a + 1e-8 * jnp.eye(6)
         x = jnp.linalg.solve(a, b[..., None])[..., 0]  # [H, 6]
         omega, t = x[:, :3], x[:, 3:]

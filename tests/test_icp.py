@@ -201,6 +201,37 @@ def test_segside_icp_interpret_matches_xla(rng):
         assert check_alignment(g, true_pose, model, tol=0.004)
 
 
+def test_segside_icp_paired_matches_unpaired(rng):
+    # The hb=2 lane-packed pair path (d2/accT matmuls of two hypotheses in
+    # one launch) must produce the same poses as the per-hypothesis path
+    # (pair_hypotheses=False) - same math, different launch grouping.
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    model, mnrm, seg, true_pose, init = make_case(rng, n_model=128, n_seg=96,
+                                                  perturb_deg=5, perturb_t=0.01)
+    init2 = init.copy()
+    init2[:3, 3] += [0.008, -0.006, 0.004]
+    inits = jnp.asarray(np.stack([init, init2]))
+    mask = np.ones(len(seg), bool)
+    mask[-5:] = False
+    args = (inits, jnp.asarray(model), jnp.asarray(mnrm),
+            jnp.asarray(seg), jnp.asarray(mask))
+    orig_call = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig_call, interpret=True)):
+        paired = np.asarray(
+            icp.refine_icp_pallas_segside.__wrapped__(*args, iters=6)
+        )
+        unpaired = np.asarray(
+            icp.refine_icp_pallas_segside.__wrapped__(
+                *args, iters=6, pair_hypotheses=False
+            )
+        )
+    np.testing.assert_allclose(paired, unpaired, atol=1e-6)
+
+
 def test_segside_icp_survives_clutter(rng):
     # Welsch weighting must keep the segment-stationary kernel convergent
     # with a cluttered segment (the bench clutter workload's property).
