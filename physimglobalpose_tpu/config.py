@@ -117,7 +117,16 @@ class PhysicsConfig:
     """
 
     gravity: float = -2.0
-    steps: int = 60
+    # steps*dt = simulated settle duration. The reference simulates 1.0 s
+    # (60 Bullet steps at 1/60, PhySim.cpp); 30 steps = 0.5 s halves the
+    # sequential substep chain (the whole cost of the vmapped MCTS leaf
+    # settle on TPU - each substep is one fused op bundle, so the chain
+    # length IS the latency). Deviation chosen and measured (round 3): all
+    # physics/stacked/decoy/clutter regressions and the 24/24 synthetic
+    # multi-object MCTS sweep hold at 0.5 s; the solver step h=dt/substeps
+    # stays 1/120 (coarsening h to 1/60 instead FAILED the clutter ranking
+    # regression - duration, not step size, was the safe axis).
+    steps: int = 30
     dt: float = 1.0 / 60.0
     # Position-based solver substeps per step. The sequential substep chain
     # (steps x substeps), not the per-substep FLOPs, is what the vmapped MCTS
