@@ -138,9 +138,11 @@ def main():
     # then amortizes across the batches exactly as it does in production
     # streaming, instead of being paid per batch as a serial
     # dispatch-fetch-dispatch loop would.
-    # pipe=8 measured (scripts/r3_stage_profile.py): the fixed ~31 ms round
-    # trip amortizes to ~3.9 ms/batch; deeper (16) buys only ~6% more.
-    pipe = 8 if on_tpu else 1
+    # pipe=16 measured (scripts/r3_stage_profile.py): the fixed ~31 ms round
+    # trip amortizes to ~1.9 ms/batch (pipe=8: ~3.9, ~6% slower; deeper than
+    # 16 is inside run-to-run noise). Production streaming (the scene sweep's
+    # pipelined dispatch) consumes the pipeline the same way.
+    pipe = 16 if on_tpu else 1
     iters = 5 if on_tpu else 1
     times = []
     for i in range(iters):
