@@ -202,6 +202,15 @@ class MCTSConfig:
     # decorrelates within a batch; search results unchanged on the decoy
     # and stacked regressions).
     leaf_batch: int = 128
+    # Leaves per dispatch for the MULTI-scene search (uct_search_multi):
+    # the batch is split across the live trees, so an 8-scene sweep at the
+    # single-scene 128 would give each tree only 16 leaves per round and
+    # pay ~4x the dispatch rounds. 512 measured best on v5e
+    # (scripts/r3_mcts_sweep_batch.py, 8-scene sweep: 128 -> 970 ms/scene,
+    # 512 -> 759, 1024 -> 812); per-tree virtual-loss exposure stays at or
+    # under the single-scene search's own 128 leaves/round whenever >= 4
+    # scenes are live.
+    leaf_batch_multi: int = 512
     # Hard cap on expansions. Deviation from the reference's sum_i 25^i
     # stopping criterion (UCTSearch.cpp:290-294), which for k>=3 objects is
     # never the binding constraint anyway: its 60 s wall clock cuts first,

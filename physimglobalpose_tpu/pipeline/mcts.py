@@ -699,7 +699,11 @@ def uct_search_multi(
         trees.append(_make_tree(hs, k, c, budget, seed + si))
     deadline = time.monotonic() + mc.max_search_seconds
     k_max = msev.k_max
-    batch = mc.leaf_batch
+    # Multi-scene batches are wider than single-scene ones (leaf_batch_multi,
+    # measured in scripts/r3_mcts_sweep_batch.py): the batch splits across
+    # the live trees, so the single-scene size would starve each tree and
+    # multiply the dispatch rounds.
+    batch = max(mc.leaf_batch, mc.leaf_batch_multi)
 
     _EMPTY_ROUND = object()  # cached-terminal-only round: keep searching
 
