@@ -211,6 +211,17 @@ class MCTSConfig:
     # under the single-scene search's own 128 leaves/round whenever >= 4
     # scenes are live.
     leaf_batch_multi: int = 512
+    # Dispatched-but-not-backed-up leaf batches the search keeps in flight.
+    # At depth 1 every round serializes host backup + tree policy + the
+    # axon tunnel's dispatch/fetch round trip BEHIND the device program
+    # (measured ~41 ms/round wall vs ~26 ms device compute,
+    # scripts/r3_mcts_phase_probe.py); depth 2 overlaps the fetch latency
+    # of batch i with the device executing batch i+1. Virtual loss already
+    # decorrelates outstanding descents, so depth D exposes the tree to at
+    # most D*leaf_batch uncommitted leaves (the same exposure class the
+    # batch itself creates; accuracy gates: decoy, stacked, clutter ADD-S,
+    # synthetic 24-instance sweep).
+    inflight_batches: int = 2
     # Hard cap on expansions. Deviation from the reference's sum_i 25^i
     # stopping criterion (UCTSearch.cpp:290-294), which for k>=3 objects is
     # never the binding constraint anyway: its 60 s wall clock cuts first,

@@ -514,16 +514,18 @@ def uct_search(
     tree = _make_tree(hyp_scores, k, c, budget, seed)
     deadline = time.monotonic() + mc.max_search_seconds
 
-    # Double-buffered loop: collect batch i+1 (host tree policy, virtual
-    # loss decorrelates it from the un-backed-up batch i) while the device
-    # executes batch i; fetch+backup only when the next dispatch is in
-    # flight. Overlaps host work and the dispatch round trip with device
-    # compute (UCTSearch's serial expand->settle->render loop, pipelined).
-    inflight = None  # (pend, device costs)
+    # Pipelined loop: collect the next batch (host tree policy, virtual
+    # loss decorrelates it from the un-backed-up ones) while the device
+    # executes earlier batches; fetch+backup the OLDEST batch only once
+    # cfg.mcts.inflight_batches are dispatched. Depth 1 is classic double
+    # buffering; depth 2 additionally hides the axon tunnel's fetch
+    # latency (measured ~15 ms/round over the device compute,
+    # scripts/r3_mcts_phase_probe.py) behind the next program.
+    depth = max(1, mc.inflight_batches)
+    inflight: List[tuple] = []  # (pend, device costs), oldest first
     while time.monotonic() < deadline:
         finished = tree.done or tree.root.exhausted
         pend = [] if finished else _collect_batch(tree, mc.alpha, mc.leaf_batch)
-        nxt = None
         if pend:
             # Pad to the fixed leaf_batch (repeating row 0, results
             # discarded): cached-terminal backups make pend length
@@ -535,12 +537,11 @@ def uct_search(
             costs_dev, _settled = evaluator.evaluate_async(
                 batch_choices, batch_choices >= 0
             )
-            nxt = (pend, costs_dev)
-        if inflight is not None:
-            prev_pend, prev_costs = inflight
+            inflight.append((pend, costs_dev))
+        if len(inflight) > depth or (not pend and inflight):
+            prev_pend, prev_costs = inflight.pop(0)
             _backup(tree, prev_pend, np.asarray(prev_costs))
-        inflight = nxt
-        if inflight is None:
+        if not pend and not inflight:
             if finished:
                 break
             # Transient cached-terminal-only round: every descent this round
@@ -550,10 +551,9 @@ def uct_search(
             # the remaining expansions.
             continue
 
-    # Deadline exit can leave one dispatched batch un-backed-up; its device
-    # work is already done, and the best assignment may be in it.
-    if inflight is not None:
-        prev_pend, prev_costs = inflight
+    # Deadline exit can leave dispatched batches un-backed-up; their device
+    # work is already done, and the best assignment may be in them.
+    for prev_pend, prev_costs in inflight:
         _backup(tree, prev_pend, np.asarray(prev_costs))
 
     return tree.best_assign, tree.best_cost
@@ -748,24 +748,27 @@ def uct_search_multi(
             _backup(trees[si], pend, costs[ofs : ofs + len(pend)])
             ofs += len(pend)
 
-    # Same double-buffered overlap as uct_search: next round's tree policy
-    # runs while the device executes the current one.
-    inflight = None
+    # Same pipelined overlap as uct_search: later rounds' tree policy and
+    # dispatch run while the device executes earlier ones, with up to
+    # cfg.mcts.inflight_batches rounds outstanding (hides the axon tunnel
+    # fetch latency behind the next device program).
+    depth = max(1, mc.inflight_batches)
+    inflight = []  # dispatched rounds, oldest first
     while time.monotonic() < deadline:
         nxt = collect_round()
-        if inflight is not None:
-            backup_round(inflight)
+        if nxt is not None and nxt is not _EMPTY_ROUND:
+            inflight.append(nxt)
+        if len(inflight) > depth or (nxt in (None, _EMPTY_ROUND) and inflight):
+            backup_round(inflight.pop(0))
         if nxt is _EMPTY_ROUND:
-            inflight = None
             continue
-        inflight = nxt
-        if inflight is None:
+        if nxt is None and not inflight:
             break
 
-    # Deadline exit: drain the final dispatched batch (its device work is
-    # already done; the best assignment of some scene may be in it).
-    if inflight is not None:
-        backup_round(inflight)
+    # Deadline exit: drain the dispatched rounds (their device work is
+    # already done; the best assignment of some scene may be in them).
+    for r in inflight:
+        backup_round(r)
 
     return [(t.best_assign, t.best_cost) for t in trees]
 
