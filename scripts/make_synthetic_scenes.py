@@ -43,6 +43,11 @@ def main(argv=None):
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     p.add_argument("--table-z", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stack", action="store_true",
+                   help="place the SECOND object resting ON the first "
+                        "(gt_info dependency_order semantics - the paper's "
+                        "stacked-scene case); remaining objects rest on the "
+                        "table at side slots")
     args = p.parse_args(argv)
     names = (args.object or args.objects).split(",")
 
@@ -110,17 +115,46 @@ def main(argv=None):
         depth = np.full((h, w), np.float32(args.table_z))
         mask = np.zeros((h, w), np.uint16)
         gt_entries = []
+        base_xy = None
         for idx, name in enumerate(names):
             slot = slots[order[idx]]
             rot = Rotation.from_euler(
                 "xyz", [0, 0, rng.uniform(0, 360)], degrees=True
             ).as_matrix().astype(np.float32)
-            t = np.array(
-                [slot[0] + rng.uniform(-0.02, 0.02),
-                 slot[1] + rng.uniform(-0.02, 0.02),
-                 args.table_z - half_heights[name] - 0.001],
-                np.float32,
-            )
+            if args.stack and idx == 0:
+                # Stack base: centered slot (the top object must stay inside
+                # its footprint).
+                base_xy = np.array([rng.uniform(-0.02, 0.02),
+                                    rng.uniform(-0.02, 0.02)])
+                t = np.array(
+                    [base_xy[0], base_xy[1],
+                     args.table_z - half_heights[name] - 0.001],
+                    np.float32,
+                )
+            elif args.stack and idx == 1:
+                # Rests ON the base: bottom at the base's top surface
+                # (camera depth decreases upward), xy jittered ~1 cm inside
+                # the base's footprint. Ground truth is physically
+                # consistent by construction - the dependent-placement case
+                # the sequential-settle search exists for (gt_info.yml
+                # dependency_order in the reference's own scenes).
+                t = np.array(
+                    [base_xy[0] + rng.uniform(-0.01, 0.01),
+                     base_xy[1] + rng.uniform(-0.01, 0.01),
+                     args.table_z - 2 * half_heights[names[0]]
+                     - half_heights[name] - 0.002],
+                    np.float32,
+                )
+            else:
+                # In stack mode the side slots widen 1.5x so they clear the
+                # centered stack's footprint.
+                s = slot * (1.5 if args.stack else 1.0)
+                t = np.array(
+                    [s[0] + rng.uniform(-0.02, 0.02),
+                     s[1] + rng.uniform(-0.02, 0.02),
+                     args.table_z - half_heights[name] - 0.001],
+                    np.float32,
+                )
             pose = np.eye(4, dtype=np.float32)
             pose[:3, :3] = rot
             pose[:3, 3] = t
