@@ -60,6 +60,7 @@ def evaluate_scenes(
     dataset: str = "APC",
     segmentation_mode: str = "GT",
     verification_mode: str = "LCP",
+    hypothesis_mode: str = "PCS",
     cfg: PipelineConfig = DEFAULT_CONFIG,
     seed: int = 0,
     add_threshold: float = 0.02,
@@ -104,6 +105,7 @@ def evaluate_scenes(
             mesh, pending, db, dataset=dataset,
             segmentation_mode=segmentation_mode, cfg=cfg, seed=seed,
             verification_mode=verification_mode,
+            hypothesis_mode=hypothesis_mode,
         )
         batch_total_s = time.perf_counter() - t0
         per_scene_s = batch_total_s / max(len(pending), 1)
@@ -128,6 +130,7 @@ def evaluate_scenes(
             sd, db, dataset=dataset,
             segmentation_mode=segmentation_mode,
             verification_mode=verification_mode,
+            hypothesis_mode=hypothesis_mode,
             cfg=cfg, seed=seed, write_result=False,
         )
         write_row(sd, result, time.perf_counter() - t0)
@@ -182,11 +185,15 @@ def main(argv=None):
     p.add_argument("--segmentation", default="GT")
     p.add_argument("--verification", default="LCP",
                    choices=["LCP", "MCTS", "GREEDY"])
+    p.add_argument("--hypothesis", default="PCS",
+                   choices=["PCS", "CONGRUENT_SET_MATCHING", "SUPER4PCS",
+                            "V4PCS", "PPF_VOTING", "Hough"])
     p.add_argument("--cache-dir", default="/tmp/physim_tpu_cache")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--sharded", action="store_true",
-                   help="shard (scene, object) jobs over the device mesh "
-                        "(LCP mode only)")
+                   help="shard (scene, object) jobs over the device mesh; in "
+                        "MCTS mode the scenes' searches additionally share "
+                        "leaf-eval dispatches (scene_sweep.sweep_scenes)")
     p.add_argument("--preset", default="default", choices=["default", "small"],
                    help="'small' shrinks the static-shape caps (fast compile)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
@@ -226,6 +233,7 @@ def main(argv=None):
         dirs, db, args.log, dataset=args.dataset,
         segmentation_mode=args.segmentation,
         verification_mode=args.verification,
+        hypothesis_mode=args.hypothesis,
         cfg=cfg, seed=args.seed, mesh=mesh,
     )
     print(json.dumps(agg))
