@@ -41,6 +41,10 @@ def main(argv=None):
         help="reference object config (mask class ids)",
     )
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    p.add_argument("--dataset", default="APC", choices=["APC", "YCB"],
+                   help="scene layout codec: APC stores depth bit-rotated, "
+                        "YCB plain (pass the matching obj-config, e.g. "
+                        "obj_config_ycb.yml for YCB class ids)")
     p.add_argument("--table-z", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--stack", action="store_true",
@@ -175,9 +179,10 @@ def main(argv=None):
         sd = os.path.join(args.out, f"scene_{k:04d}")
         os.makedirs(sd, exist_ok=True)
         # APC layout stores depth bit-rotated (load_scene decodes with
-        # rot-left-13 for dataset="APC").
+        # rot-left-13 for dataset="APC"); YCB stores plain millimeters.
         depthio.write_depth_png(
-            os.path.join(sd, "frame-000000.depth.png"), depth, bit_rotated=True
+            os.path.join(sd, "frame-000000.depth.png"), depth,
+            bit_rotated=(args.dataset == "APC"),
         )
         from PIL import Image
 
