@@ -34,7 +34,7 @@ class ScoredHypotheses(NamedTuple):
         "normal_gate_deg", "use_pallas", "icp_nn_refresh",
         "coarse_precision", "fine_precision", "coarse_weighted",
         "fine_exact_k", "icp_precision", "coarse_seg_stride",
-        "icp_seg_stride",
+        "icp_seg_stride", "fine_seg_stride",
     ),
 )
 def score_refine_pipeline(
@@ -68,6 +68,15 @@ def score_refine_pipeline(
     # the correspondence matmuls with negligible pose effect (gated by the
     # on-TPU top-1-drift test at the production flags).
     icp_seg_stride: int = 1,
+    # Segment stride for the BULK fine tier only. The bulk tier merely ranks
+    # the top_k refined survivors down to fine_exact_k; the exact fp32
+    # rescore then recomputes the winners' scores at full resolution, so a
+    # strided bulk changes which near-ties survive into the exact tier but
+    # never the reported scores. Requires the exact tier to be active
+    # (fine_exact_k > 0 with a lowered fine_precision) - otherwise the bulk
+    # IS the final score and striding it would silently change results, so
+    # we raise instead.
+    fine_seg_stride: int = 1,
 ) -> ScoredHypotheses:
     """Score all H hypotheses coarsely, refine + rescore the best top_k."""
     h = transforms.shape[0]
@@ -133,9 +142,18 @@ def score_refine_pipeline(
         )
 
     # Stage 3: full-resolution weighted LCP on the refined survivors.
+    exact_tier = bool(fine_exact_k) and fine_precision not in (None, "highest")
+    if fine_seg_stride > 1 and not exact_tier:
+        raise ValueError(
+            "fine_seg_stride > 1 requires the exact rescore tier "
+            "(fine_exact_k > 0 with a lowered fine_precision); without it "
+            "the bulk fine tier is the final score and striding it would "
+            "silently change reported scores"
+        )
     fine = lcp_mod.lcp_scores(
         refined, model_validation_pts, model_validation_nrm,
-        seg_pts, seg_nrm, seg_prob, seg_mask,
+        seg_pts[::fine_seg_stride], seg_nrm[::fine_seg_stride],
+        seg_prob[::fine_seg_stride], seg_mask[::fine_seg_stride],
         delta=delta, normal_gate_deg=normal_gate_deg,
         weighted=True, use_pallas=use_pallas,
         matmul_precision=fine_precision,

@@ -80,3 +80,24 @@ def test_coarse_gate_keeps_all_good_hypotheses():
     kept = np.argsort(-coarse)[:64]
     missed = set(np.nonzero(good)[0]) - set(kept.tolist())
     assert not missed, f"coarse gate dropped good hypotheses: {sorted(missed)[:5]}"
+
+
+def test_fine_seg_stride_top1_matches_exhaustive():
+    # fine_seg_stride strides the BULK fine tier only; the exact rescore
+    # recomputes the winners at full resolution, so the chosen top-1 must
+    # still match the exhaustive full-resolution winner.
+    for seed in (0, 1):
+        tfs, out, exhaustive = _run(
+            seed, coarse_weighted=False,
+            fine_precision="default", fine_exact_k=8, fine_seg_stride=2,
+        )
+        _check_top1(tfs, out, exhaustive, seed)
+
+
+def test_fine_seg_stride_requires_exact_tier():
+    # Without the exact rescore tier the strided bulk would BE the final
+    # score - the pipeline must refuse rather than silently deflate scores.
+    import pytest
+
+    with pytest.raises(ValueError, match="fine_seg_stride"):
+        _run(0, fine_seg_stride=2)  # no fine_precision/fine_exact_k
