@@ -122,6 +122,13 @@ def main():
             icp_nn_refresh=2, coarse_weighted=False,
             fine_precision="default" if on_tpu else None,
             fine_exact_k=64,
+            # Bulk fine tier on a 4x-strided segment: it only ranks the 256
+            # ICP survivors down to the exact fp32 top-64, and the exact tier
+            # rescores winners at full resolution. Measured on-chip
+            # (scripts/r3_fine_stride_probe.py): top-1 drift and winner score
+            # gap IDENTICAL to stride 1 on both workloads, top-25 exact
+            # scores within 2e-4; throughput 870k -> 1.08M hyp/s.
+            fine_seg_stride=4 if on_tpu else 1,
             icp_precision="default" if on_tpu else None,
         )
         return out.top_transforms, out.top_scores
@@ -166,7 +173,7 @@ def main():
             {
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
-                "unit": f"hyp/s (coarse-LCP@256/seg4 -> ICP-{ICP_ITERS}it@512 top-256 -> fine-LCP@4k, H=16384 x{pipe} pipelined, {variant})",
+                "unit": f"hyp/s (coarse-LCP@256/seg4 -> ICP-{ICP_ITERS}it@512 top-256 -> fine-LCP@4k/seg4+exact64, H=16384 x{pipe} pipelined, {variant})",
                 "vs_baseline": round(hyps_per_sec / baseline_hyps_per_sec(clutter), 2),
             }
         )

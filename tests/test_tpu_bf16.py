@@ -49,7 +49,7 @@ def test_bf16_production_path_ranking_fidelity(clutter):
         seg, seg_nrm, seg_prob, seg_mask,
         top_k=256, coarse_subsample=16, coarse_seg_stride=4,
         coarse_precision="default", coarse_weighted=False,
-        fine_precision="default", fine_exact_k=64,
+        fine_precision="default", fine_exact_k=64, fine_seg_stride=4,
         icp_precision="default", icp_nn_refresh=2, **common,
     )
     exact = scoring.score_refine_pipeline(
