@@ -34,7 +34,7 @@ class ScoredHypotheses(NamedTuple):
         "normal_gate_deg", "use_pallas", "icp_nn_refresh",
         "coarse_precision", "fine_precision", "coarse_weighted",
         "fine_exact_k", "icp_precision", "coarse_seg_stride",
-        "icp_seg_stride", "fine_seg_stride",
+        "icp_seg_stride", "fine_seg_stride", "coarse_topk_approx",
     ),
 )
 def score_refine_pipeline(
@@ -77,6 +77,13 @@ def score_refine_pipeline(
     # IS the final score and striding it would silently change results, so
     # we raise instead.
     fine_seg_stride: int = 1,
+    # Select the coarse top-k with jax.lax.approx_max_k (TPU PartialReduce;
+    # much cheaper than the exact sort over H=16384) instead of lax.top_k.
+    # The coarse gate is already approximate by design (bf16, strided,
+    # unweighted); recall loss only matters for the TRUE top scores, which
+    # approx_max_k retains with the highest probability. Gated on-chip by
+    # tests/test_tpu_bf16.py exact-top-64 survival.
+    coarse_topk_approx: bool = False,
 ) -> ScoredHypotheses:
     """Score all H hypotheses coarsely, refine + rescore the best top_k."""
     h = transforms.shape[0]
@@ -118,7 +125,10 @@ def score_refine_pipeline(
     # XLA formulation (bandwidth-bound but tiled). With per-iteration
     # correspondences nearly free on the Pallas path, nn_refresh only
     # applies to the XLA fallback.
-    _, idx = jax.lax.top_k(coarse, k)
+    if coarse_topk_approx:
+        _, idx = jax.lax.approx_max_k(coarse, k, recall_target=0.95)
+    else:
+        _, idx = jax.lax.top_k(coarse, k)
     top_tfs = transforms[idx]
     icp_pts = model_search_pts[::icp_subsample]
     icp_nrm = model_search_nrm[::icp_subsample]

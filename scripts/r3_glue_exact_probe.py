@@ -1,0 +1,130 @@
+"""Measure the two post-stride levers: approx coarse top-k + exact-tier budget.
+
+After fine_seg_stride=4 the per-batch budget (~15.3 ms at pipe=16) splits
+roughly: ICP kernel ~4.8 ms, exact fp32 tier ~3.5 ms, coarse/fine ~1.1 ms
+each, dispatch ~1.9 ms, and ~2.9 ms of glue - dominated by the exact
+lax.top_k over H=16384 coarse scores. Variants measured here:
+
+  A  production (fine_seg_stride=4)                     [baseline]
+  B  A + coarse_topk_approx (lax.approx_max_k)          [glue lever]
+  C  A + fine_exact_k=32 (product consumes top-25)      [exact-tier lever]
+  D  B + C
+
+Gates per variant (both bench workloads):
+  - clutter: exact pipeline's weighted coarse top-64 must survive into the
+    VARIANT's actual selected top-256 (approx_max_k recomputed on the same
+    coarse scores) >= 63/64;
+  - top-1 translation drift vs the exact pipeline < 2 mm;
+  - easy: winner's exact-f32 fine score gap < 0.002;
+  - sorted top-25 exact scores vs variant A within 1e-3.
+
+Run on the chip:  python scripts/r3_glue_exact_probe.py
+"""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import time
+
+import jax
+import numpy as np
+
+import bench
+from physimglobalpose_tpu.ops import scoring
+
+VARIANTS = {
+    "A base": dict(),
+    "B approx_topk": dict(coarse_topk_approx=True),
+    "C exact32": dict(fine_exact_k=32),
+    "D approx+exact32": dict(coarse_topk_approx=True, fine_exact_k=32),
+}
+
+
+def run_prod(inputs, on_tpu=True, **over):
+    (tfs, model_m, nrm_m, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask) = inputs
+    kw = dict(
+        top_k=256, coarse_subsample=16, coarse_seg_stride=4,
+        icp_iters=bench.ICP_ITERS, icp_subsample=2, use_pallas=on_tpu,
+        coarse_precision="default" if on_tpu else None, coarse_weighted=False,
+        fine_precision="default" if on_tpu else None, fine_exact_k=64,
+        icp_precision="default" if on_tpu else None, icp_nn_refresh=2,
+        fine_seg_stride=4 if on_tpu else 1,
+    )
+    kw.update(over)
+    return scoring.score_refine_pipeline(
+        tfs, model_m, nrm_m, model_v, nrm_v,
+        seg, seg_nrm, seg_prob, seg_mask, **kw,
+    ), kw
+
+
+def run_exact(inputs, on_tpu=True):
+    (tfs, model_m, nrm_m, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask) = inputs
+    return scoring.score_refine_pipeline(
+        tfs, model_m, nrm_m, model_v, nrm_v,
+        seg, seg_nrm, seg_prob, seg_mask,
+        top_k=512, coarse_subsample=8, icp_iters=bench.ICP_ITERS,
+        icp_subsample=2, use_pallas=on_tpu, icp_nn_refresh=2,
+    )
+
+
+def throughput(inputs, on_tpu=True, pipe=16, reps=3, **over):
+    tfs = inputs[0]
+    out, _ = run_prod(inputs, on_tpu, **over)
+    float(out.top_scores[0])
+    best = float("inf")
+    for i in range(reps):
+        batches = [
+            tfs.at[:, 0, 3].add(1e-6 * (i * pipe + p + 1)) for p in range(pipe)
+        ]
+        float(batches[-1][0, 0, 0])
+        t0 = time.perf_counter()
+        acc = 0.0
+        for b in batches:
+            o, _ = run_prod((b,) + inputs[1:], on_tpu, **over)
+            acc = acc + o.top_scores[0]
+        float(acc)
+        best = min(best, time.perf_counter() - t0)
+    return tfs.shape[0] / (best / pipe)
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    print(f"backend={jax.default_backend()}")
+    for clutter in (False, True):
+        name = "clutter" if clutter else "easy"
+        inputs = bench.make_inputs(clutter=clutter)
+        exact = run_exact(inputs, on_tpu)
+        t_exact = np.asarray(exact.top_transforms[0][:3, 3])
+        exact_top64 = set(
+            np.argsort(-np.asarray(exact.coarse_scores))[:64].tolist()
+        )
+        base25 = None
+        for vname, over in VARIANTS.items():
+            out, kw = run_prod(inputs, on_tpu, **over)
+            s25 = np.sort(np.asarray(out.top_scores[:25]))[::-1]
+            if base25 is None:
+                base25 = s25
+            drift = float(
+                np.linalg.norm(np.asarray(out.top_transforms[0][:3, 3]) - t_exact)
+            )
+            gap = float(exact.top_scores[0]) - float(out.top_scores[0])
+            # Survival into the variant's ACTUAL selection.
+            coarse = out.coarse_scores
+            if kw.get("coarse_topk_approx"):
+                _, idx = jax.lax.approx_max_k(coarse, 256, recall_target=0.95)
+                sel = set(np.asarray(idx).tolist())
+            else:
+                sel = set(np.argsort(-np.asarray(coarse))[:256].tolist())
+            surv = len(exact_top64 & sel)
+            d25 = float(np.abs(s25 - base25).max())
+            print(
+                f"[{name}] {vname:16s}: surv {surv}/64, top-1 drift "
+                f"{drift*1e3:6.2f} mm, gap {gap:+.4f}, top-25 vs A {d25:.4f}"
+            )
+        if not clutter:
+            for vname, over in VARIANTS.items():
+                hps = throughput(inputs, on_tpu, **over)
+                print(f"[easy] {vname:16s}: {hps:9.0f} hyp/s (pipe=16)")
+
+
+if __name__ == "__main__":
+    main()

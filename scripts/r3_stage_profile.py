@@ -67,7 +67,7 @@ def main():
         coarse_precision="default" if on_tpu else None,
         icp_nn_refresh=2, coarse_weighted=False,
         fine_precision="default" if on_tpu else None,
-        fine_exact_k=64,
+        fine_exact_k=64, fine_seg_stride=4 if on_tpu else 1,
         icp_precision="default" if on_tpu else None,
     )
 
@@ -110,13 +110,14 @@ def main():
     @jax.jit
     def fine_fn(t):
         return lcp_mod.lcp_scores(
-            t, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask,
+            t, model_v, nrm_v,
+            seg[::4], seg_nrm[::4], seg_prob[::4], seg_mask[::4],
             weighted=True, use_pallas=on_tpu,
             matmul_precision="default" if on_tpu else None,
         )
 
     t_fine = timed_pipeline(fine_fn, top_tfs)
-    print(f"fine bulk bf16 @4k x{k}    : {t_fine*1e3:7.2f} ms/batch")
+    print(f"fine bulk bf16 @4k/seg4 x{k}: {t_fine*1e3:6.2f} ms/batch")
 
     # --- stage: exact fp32 @4k x64 ---
     @jax.jit
