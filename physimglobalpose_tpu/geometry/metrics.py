@@ -172,3 +172,70 @@ def emd_error_approx(
     u, v = jax.lax.fori_loop(0, sinkhorn_iters, sink, (u0, v0))
     transport = u[..., :, None] * k * v[..., None, :]
     return jnp.sum(transport * cost, axis=(-1, -2))
+
+
+def emd_error_exact(
+    test_pose,
+    gt_pose,
+    model,
+    lo,
+    hi,
+    bins: int = 20,
+) -> float:
+    """EXACT EMD with the reference's semantics (utilities.cpp:425-484).
+
+    The reference calls cv::EMD(sig1, sig2, CV_DIST_L2) over 20^3 histograms
+    whose signatures carry raw point counts and integer bin coordinates; the
+    result is min-cost-flow cost divided by the total flow min(W1, W2).
+    Host-side and sequential by nature (a transportation LP), so this is the
+    offline-eval / oracle path; emd_error_approx is the batched on-device
+    Sinkhorn whose error this function bounds (tests/test_metrics.py).
+
+    Solved with scipy HiGHS over the nonzero bins only: variables f_ij >= 0,
+    row sums <= w1, col sums <= w2, total flow = min(W1, W2) - exactly
+    OpenCV's unbalanced-EMD convention (identical to the balanced LP when the
+    histograms have equal mass, i.e. no points fall outside [lo, hi)).
+    """
+    import numpy as np
+    from scipy.optimize import linprog
+    from scipy.sparse import lil_matrix
+
+    h1, h2 = emd_histograms(
+        jnp.asarray(test_pose), jnp.asarray(gt_pose), jnp.asarray(model),
+        jnp.asarray(lo), jnp.asarray(hi), bins=bins,
+    )
+    w1 = np.asarray(h1, np.float64)
+    w2 = np.asarray(h2, np.float64)
+    if w1.ndim != 1:
+        raise ValueError("emd_error_exact is unbatched (offline oracle)")
+    nz1 = np.nonzero(w1)[0]
+    nz2 = np.nonzero(w2)[0]
+    if len(nz1) == 0 or len(nz2) == 0:
+        return 0.0
+
+    def coords(flat):
+        x, rem = np.divmod(flat, bins * bins)
+        y, z = np.divmod(rem, bins)
+        return np.stack([x, y, z], axis=-1).astype(np.float64)
+
+    c1, c2 = coords(nz1), coords(nz2)
+    cost = np.linalg.norm(c1[:, None, :] - c2[None, :, :], axis=-1)
+    n1, n2 = len(nz1), len(nz2)
+    total = min(w1.sum(), w2.sum())
+
+    # Transportation LP: A_ub encodes row/col capacity, A_eq the total flow.
+    a_ub = lil_matrix((n1 + n2, n1 * n2))
+    for i in range(n1):
+        a_ub[i, i * n2 : (i + 1) * n2] = 1.0
+    for j in range(n2):
+        a_ub[n1 + j, j::n2] = 1.0
+    b_ub = np.concatenate([w1[nz1], w2[nz2]])
+    res = linprog(
+        cost.ravel(),
+        A_ub=a_ub.tocsr(), b_ub=b_ub,
+        A_eq=np.ones((1, n1 * n2)), b_eq=[total],
+        method="highs",
+    )
+    if not res.success:  # pragma: no cover - tiny feasible LP
+        raise RuntimeError(f"exact EMD LP failed: {res.message}")
+    return float(res.fun / total)

@@ -23,7 +23,13 @@ from physimglobalpose_tpu.ops import lcp as lcp_mod
 
 class ScoredHypotheses(NamedTuple):
     top_transforms: jnp.ndarray  # [K, 4, 4] refined
-    top_scores: jnp.ndarray  # [K] full-resolution weighted LCP
+    # [K] weighted LCP, descending. With fine_seg_stride == 1 every entry is
+    # full-resolution. With fine_seg_stride > 1 only the first fine_exact_k
+    # entries carry exact full-resolution fp32 scores (the exact rescore
+    # tier); the tail holds strided bulk-tier scores - systematically
+    # deflated, and in rare NN-reassignment cases inflated - that are valid
+    # for RANKING the tail but must not be consumed as calibrated scores.
+    top_scores: jnp.ndarray
     coarse_scores: jnp.ndarray  # [H]
 
 
@@ -81,8 +87,10 @@ def score_refine_pipeline(
     # much cheaper than the exact sort over H=16384) instead of lax.top_k.
     # The coarse gate is already approximate by design (bf16, strided,
     # unweighted); recall loss only matters for the TRUE top scores, which
-    # approx_max_k retains with the highest probability. Gated on-chip by
-    # tests/test_tpu_bf16.py exact-top-64 survival.
+    # approx_max_k retains with the highest probability. NOT a production
+    # flag: measured only by scripts/r3_glue_exact_probe.py (off-pipeline
+    # survival probe with a hardcoded recall_target=0.95) and not covered by
+    # the tests/test_tpu_bf16.py production gate, which runs with this off.
     coarse_topk_approx: bool = False,
 ) -> ScoredHypotheses:
     """Score all H hypotheses coarsely, refine + rescore the best top_k."""
@@ -168,7 +176,7 @@ def score_refine_pipeline(
         weighted=True, use_pallas=use_pallas,
         matmul_precision=fine_precision,
     )
-    if fine_exact_k and fine_precision not in (None, "highest"):
+    if exact_tier:
         # Two-tier fine: the bulk rescoring ran at lowered matmul precision
         # ("default" = 1 bf16 MXU pass, "high" = 3); the top fine_exact_k
         # survivors (>= what the product consumes) get an exact fp32 rescore

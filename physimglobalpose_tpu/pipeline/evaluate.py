@@ -22,7 +22,9 @@ from physimglobalpose_tpu.models.objectdb import ObjectDB
 from physimglobalpose_tpu.pipeline import api, scene as scene_mod
 
 
-def _metrics_for(est, gt_pose: np.ndarray, obj) -> Dict[str, float]:
+def _metrics_for(
+    est, gt_pose: np.ndarray, obj, emd_exact: bool = False
+) -> Dict[str, float]:
     import jax.numpy as jnp
 
     from physimglobalpose_tpu.geometry import metrics
@@ -33,12 +35,32 @@ def _metrics_for(est, gt_pose: np.ndarray, obj) -> Dict[str, float]:
     rot_err, trans_err = metrics.pose_error(test, gt, jnp.asarray(obj.symmetry))
     add = metrics.add_error(test, gt, model)
     adds = metrics.adds_error(test, gt, model)
-    return {
+    out = {
         "rot_err_deg": float(rot_err),
         "trans_err_m": float(trans_err),
         "add_m": float(add),
         "adds_m": float(adds),
     }
+    if emd_exact:
+        # Offline-only: exact transportation-LP EMD with the reference's
+        # cv::EMD semantics (utilities.cpp:425-484); host-sequential, so not
+        # part of the default per-scene metric set.
+        pts = np.asarray(model)
+        lo_hi_pad = 0.05
+        lo = np.minimum(
+            np.asarray(se3_apply(est.pose_world, pts)).min(0),
+            np.asarray(se3_apply(gt_pose, pts)).min(0),
+        ) - lo_hi_pad
+        hi = np.maximum(
+            np.asarray(se3_apply(est.pose_world, pts)).max(0),
+            np.asarray(se3_apply(gt_pose, pts)).max(0),
+        ) + lo_hi_pad
+        out["emd_bins"] = metrics.emd_error_exact(test, gt, model, lo, hi)
+    return out
+
+
+def se3_apply(pose: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    return pts @ pose[:3, :3].T + pose[:3, 3]
 
 
 def completed_scenes(log_path: str) -> set:
@@ -65,6 +87,7 @@ def evaluate_scenes(
     seed: int = 0,
     add_threshold: float = 0.02,
     mesh=None,
+    emd_exact: bool = False,
 ) -> Dict[str, float]:
     """Sweep scenes, append per-scene JSONL, return aggregate metrics.
 
@@ -91,7 +114,12 @@ def evaluate_scenes(
         for est in result.objects:
             entry: dict = {"score": est.score}
             if sc.gt_poses and est.name in sc.gt_poses:
-                entry.update(_metrics_for(est, sc.gt_poses[est.name], db[est.name]))
+                entry.update(
+                    _metrics_for(
+                        est, sc.gt_poses[est.name], db[est.name],
+                        emd_exact=emd_exact,
+                    )
+                )
             row["objects"][est.name] = entry
         with open(log_path, "a") as fh:
             fh.write(json.dumps(row) + "\n")
@@ -196,6 +224,9 @@ def main(argv=None):
                         "leaf-eval dispatches (scene_sweep.sweep_scenes)")
     p.add_argument("--preset", default="default", choices=["default", "small"],
                    help="'small' shrinks the static-shape caps (fast compile)")
+    p.add_argument("--emd-exact", action="store_true",
+                   help="add exact transportation-LP EMD per object "
+                        "(reference cv::EMD semantics; host-side, offline)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
 
@@ -234,7 +265,7 @@ def main(argv=None):
         segmentation_mode=args.segmentation,
         verification_mode=args.verification,
         hypothesis_mode=args.hypothesis,
-        cfg=cfg, seed=args.seed, mesh=mesh,
+        cfg=cfg, seed=args.seed, mesh=mesh, emd_exact=args.emd_exact,
     )
     print(json.dumps(agg))
     return 0

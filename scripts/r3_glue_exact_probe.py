@@ -41,14 +41,7 @@ VARIANTS = {
 
 def run_prod(inputs, on_tpu=True, **over):
     (tfs, model_m, nrm_m, model_v, nrm_v, seg, seg_nrm, seg_prob, seg_mask) = inputs
-    kw = dict(
-        top_k=256, coarse_subsample=16, coarse_seg_stride=4,
-        icp_iters=bench.ICP_ITERS, icp_subsample=2, use_pallas=on_tpu,
-        coarse_precision="default" if on_tpu else None, coarse_weighted=False,
-        fine_precision="default" if on_tpu else None, fine_exact_k=64,
-        icp_precision="default" if on_tpu else None, icp_nn_refresh=2,
-        fine_seg_stride=4 if on_tpu else 1,
-    )
+    kw = bench.prod_flags(on_tpu)
     kw.update(over)
     return scoring.score_refine_pipeline(
         tfs, model_m, nrm_m, model_v, nrm_v,
@@ -89,6 +82,7 @@ def throughput(inputs, on_tpu=True, pipe=16, reps=3, **over):
 def main():
     on_tpu = jax.default_backend() == "tpu"
     print(f"backend={jax.default_backend()}")
+    failures = []
     for clutter in (False, True):
         name = "clutter" if clutter else "easy"
         inputs = bench.make_inputs(clutter=clutter)
@@ -108,6 +102,10 @@ def main():
             )
             gap = float(exact.top_scores[0]) - float(out.top_scores[0])
             # Survival into the variant's ACTUAL selection.
+            # approx_max_k here reproduces the pipeline's actual selection:
+            # it is a deterministic op, applied to the same coarse scores the
+            # jitted pipeline computed (out.coarse_scores IS the pipeline's
+            # tensor, fetched), with the same k/recall_target.
             coarse = out.coarse_scores
             if kw.get("coarse_topk_approx"):
                 _, idx = jax.lax.approx_max_k(coarse, 256, recall_target=0.95)
@@ -120,11 +118,29 @@ def main():
                 f"[{name}] {vname:16s}: surv {surv}/64, top-1 drift "
                 f"{drift*1e3:6.2f} mm, gap {gap:+.4f}, top-25 vs A {d25:.4f}"
             )
+            # The documented gates, ASSERTED (a regression exits nonzero).
+            if surv < 63:
+                failures.append(f"[{name}] {vname}: survival {surv}/64 < 63")
+            if drift >= 0.002:
+                failures.append(
+                    f"[{name}] {vname}: top-1 drift {drift*1e3:.2f} mm >= 2 mm"
+                )
+            if not clutter and abs(gap) >= 0.002:
+                failures.append(f"[easy] {vname}: winner gap {gap:+.4f} >= 0.002")
+            if d25 >= 1e-3:
+                failures.append(f"[{name}] {vname}: top-25 vs A {d25:.4f} >= 1e-3")
         if not clutter:
             for vname, over in VARIANTS.items():
                 hps = throughput(inputs, on_tpu, **over)
                 print(f"[easy] {vname:16s}: {hps:9.0f} hyp/s (pipe=16)")
+    if failures:
+        print("GATE FAILURES:")
+        for f in failures:
+            print("  " + f)
+        return 1
+    print("all gates passed")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -33,6 +33,17 @@ sed -i 's|/media/chaitanya/DATADRIVE0/datasets/YCB_Video_Dataset/time.txt|/tmp/r
 grep -q ORACLE_MODELS_DIR "$WORK/src/super4pcs_test.cc" || { echo "patch 1 failed"; exit 1; }
 grep -q ref_oracle_time "$WORK/src/algorithms/match4pcsBase.cc" || { echo "patch 2 failed"; exit 1; }
 
+# Patch 3: computePPF (match4pcsBase.cc:582-598) is declared bool but has NO
+# return statement - UB that g++12 at -O1+ compiles to a fall-through crash
+# (verified: SEGV at the first StoCS base selection, ASan backtrace through
+# SelectQuadrilateralStoCS). Every call site ignores the return value, so
+# `return true` is semantics-preserving. (The author's catkin/older-gcc build
+# emitted a normal epilogue despite the UB.) This is the only
+# -Wreturn-type hit in the five TUs.
+sed -i 's|  ppf_.push_back(approximate_bin(ppf_4, rot_disc));|  ppf_.push_back(approximate_bin(ppf_4, rot_disc));\n  return true;|' \
+  "$WORK/src/algorithms/match4pcsBase.cc"
+grep -q "return true;" "$WORK/src/algorithms/match4pcsBase.cc" || { echo "patch 3 failed"; exit 1; }
+
 # gnu++14: the 2017-era sources predate C++17's removals; -w: the reference
 # code warns copiously and none of it is ours to fix. io.cc is built WITHOUT
 # USE_OPENCV (texture loading unused - we only exchange point PLYs); OpenCV

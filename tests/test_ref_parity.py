@@ -1,0 +1,104 @@
+"""Reference-vs-framework parity gate over REF_PARITY.json (VERDICT r3 #1).
+
+REF_PARITY.json is produced by scripts/ref_parity.py: it runs the ACTUAL
+reference StoCS engine (compiled path-patched from
+/root/reference/src/3rdparty/super4pcs by scripts/ref_oracle/build.sh) and
+this framework on IDENTICAL inputs for the bundled test scene, recording both
+systems' best poses and LCP scores. This test re-derives the gates from the
+recorded poses/scores — it does NOT trust the artifact's own pass flags:
+
+1. best-pose agreement: the framework's best pose per object is within
+   symmetry-folded 10 deg / 2 cm of the reference's (or scores at least as
+   high under the one common scorer, since StoCS is stochastic);
+2. LCP cross-check: the framework's weighted-LCP of the ORACLE's pose
+   reproduces the oracle's own kd-tree WeightedVerify score
+   (match4pcsBase.cc:1733-1766) to 0.05.
+
+The pose error is recomputed here from the recorded 4x4s with the framework's
+metrics.pose_error and symmetries parsed straight from the reference's
+obj_config.yml, so a metrics regression also trips this gate.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import jax.numpy as jnp
+
+from physimglobalpose_tpu.geometry import metrics
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PARITY = os.path.join(REPO, "REF_PARITY.json")
+OBJ_CFG = (
+    "/root/reference/src/physim_pose_estimation/src/data_layer/obj_config.yml"
+)
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(PARITY) and os.path.exists(OBJ_CFG)),
+    reason="REF_PARITY.json or reference obj_config.yml not present",
+)
+
+
+def _symmetries():
+    with open(OBJ_CFG) as fh:
+        cfg = yaml.safe_load(fh)["objects"]
+    out = {}
+    for i in range(1, int(cfg["num_objects"]) + 1):
+        e = cfg[f"object_{i}"]
+        out[e["name"]] = np.asarray(e.get("symmetry", [0, 0, 0]), np.float32)
+    return out
+
+
+def _report():
+    with open(PARITY) as fh:
+        return json.load(fh)
+
+
+def test_every_scene_object_present():
+    rep = _report()
+    assert set(rep["objects"]) == {
+        "kleenex_tissue_box",
+        "expo_dry_erase_board_eraser",
+        "folgers_classic_roast_coffee",
+    }
+    # The artifact must come from >= 2 oracle runs per object (stochastic
+    # engine; one run proves little).
+    for obj in rep["objects"].values():
+        assert len(obj["oracle"]["runs"]) >= 2
+
+
+def test_lcp_cross_check_against_reference_scorer():
+    """Framework weighted-LCP of the oracle pose == oracle's own LCP (0.05)."""
+    rep = _report()
+    for name, obj in rep["objects"].items():
+        cross = obj["lcp_cross_check"]
+        diff = abs(
+            cross["framework_lcp_of_oracle_pose"] - cross["oracle_reported_lcp"]
+        )
+        assert diff <= 0.05, f"{name}: LCP cross-check diff {diff:.4f} > 0.05"
+
+
+def test_best_pose_agreement_recomputed():
+    """Recompute folded rot/trans error between the recorded best poses."""
+    rep = _report()
+    syms = _symmetries()
+    for name, obj in rep["objects"].items():
+        fw_pose = np.asarray(obj["framework"]["best_pose"], np.float32)
+        or_pose = np.asarray(obj["oracle"]["best_pose"], np.float32)
+        rot_err, trans_err = metrics.pose_error(
+            jnp.asarray(fw_pose), jnp.asarray(or_pose), jnp.asarray(syms[name])
+        )
+        rot_err, trans_err = float(rot_err), float(trans_err)
+        pose_close = rot_err <= 10.0 and trans_err <= 0.02
+        score_wins = (
+            obj["agreement"]["framework_lcp_of_own_pose"]
+            >= obj["lcp_cross_check"]["framework_lcp_of_oracle_pose"] - 0.01
+        )
+        assert pose_close or score_wins, (
+            f"{name}: framework best pose {rot_err:.1f} deg / "
+            f"{trans_err * 1000:.1f} mm from the reference's, and does not "
+            f"score competitively"
+        )

@@ -42,21 +42,17 @@ def test_bf16_production_path_ranking_fidelity(clutter):
         bench.make_inputs(clutter=clutter)
     )
 
-    common = dict(icp_iters=bench.ICP_ITERS, icp_subsample=2, use_pallas=True)
-    # The exact production flags from bench.py score_step.
+    # The exact production flags from bench.py - shared via bench.prod_flags
+    # so the gate and the measured configuration cannot silently diverge.
     prod = scoring.score_refine_pipeline(
         tfs, model_m, nrm_m, model_v, nrm_v,
-        seg, seg_nrm, seg_prob, seg_mask,
-        top_k=256, coarse_subsample=16, coarse_seg_stride=4,
-        coarse_precision="default", coarse_weighted=False,
-        fine_precision="default", fine_exact_k=64, fine_seg_stride=4,
-        icp_precision="default", icp_nn_refresh=2, **common,
+        seg, seg_nrm, seg_prob, seg_mask, **bench.prod_flags(True),
     )
     exact = scoring.score_refine_pipeline(
         tfs, model_m, nrm_m, model_v, nrm_v,
         seg, seg_nrm, seg_prob, seg_mask,
-        top_k=512, coarse_subsample=8, icp_precision=None, icp_nn_refresh=2,
-        **common,
+        top_k=512, coarse_subsample=8, icp_iters=bench.ICP_ITERS,
+        icp_subsample=2, use_pallas=True, icp_precision=None, icp_nn_refresh=2,
     )
 
     # Production refines only the coarse top-256 (the bench top_k). On the
