@@ -499,8 +499,10 @@ def sweep_scenes(
     + scoring + refinement. verification_mode="MCTS" additionally runs the
     physics-aware searches of ALL scenes concurrently through one
     MultiSceneLeafEvaluator (pipeline/mcts.py) - pending leaves from every
-    scene's tree share each settle+render dispatch, completing BASELINE
-    config 5 for the MCTS configuration as well. Returns
+    scene's tree share each settle+render dispatch, AND that shared batch's
+    row axis is sharded over the whole mesh (the search stage uses every
+    chip, not one - completing BASELINE config 5 for the MCTS configuration
+    end to end). Returns
     {scene_dir: PoseEstimationResult} with the same per-object contents as
     api.estimate_pose(..., verification_mode=...).
 
@@ -594,7 +596,9 @@ def sweep_scenes(
             (per_scene[si], pj.sc, pj.table_pose, pj.depth_clean)
             for si, pj in enumerate(prepared)
         ]
-        refined_rows = mcts_mod.mcts_select_multi(scene_rows, db, cfg, seed=seed)
+        refined_rows = mcts_mod.mcts_select_multi(
+            scene_rows, db, cfg, seed=seed, mesh=mesh
+        )
         for si in per_scene:
             per_scene[si] = refined_rows[si]
         mcts_s = time.perf_counter() - t2

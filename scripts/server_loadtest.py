@@ -1,0 +1,151 @@
+"""Server throughput under concurrent clients (VERDICT r3 #8).
+
+Starts the HTTP service in-process (models loaded once, jits warm - the
+serving deployment mode), fires N concurrent clients at /pose_estimation on
+the bundled scene, and records requests/s, latency percentiles, and the load
+-shedding behavior (503 + Retry-After once the line exceeds max_queue).
+Client threads never touch jax (urllib only); the device stays single-flight
+behind the server's lock, so this is safe on the one-jax-process rule.
+
+Usage:
+  python scripts/server_loadtest.py [--clients 4] [--requests 12]
+      [--max-queue 1] [--platform cpu] [--out SERVER_LOADTEST.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+import urllib.error
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCENE = "/root/reference/test-scene"
+MODELS = "/root/reference/src/physim_pose_estimation/models_visualization"
+OBJ_CFG = (
+    "/root/reference/src/physim_pose_estimation/src/data_layer/obj_config.yml"
+)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=12,
+                    help="total successful requests to collect")
+    ap.add_argument("--max-queue", type=int, default=1)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SERVER_LOADTEST.json"))
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from physimglobalpose_tpu.models import objectdb
+    from physimglobalpose_tpu.pipeline import server as server_mod
+    from tests.test_e2e_scene import SMALL_CFG
+
+    db = objectdb.load_object_db(
+        OBJ_CFG, MODELS, config=SMALL_CFG, cache_dir="/tmp/ppf_cache",
+        only=["kleenex_tissue_box", "expo_dry_erase_board_eraser",
+              "folgers_classic_roast_coffee"],
+    )
+    srv = server_mod.serve(db, SMALL_CFG, port=0, max_queue=args.max_queue)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/pose_estimation"
+    payload = json.dumps({"scene_dir": SCENE, "dataset": "APC"}).encode()
+
+    # Warm the jits (the first request compiles; not part of the measurement).
+    t0 = time.monotonic()
+    with urllib.request.urlopen(
+        urllib.request.Request(url, data=payload, method="POST"), timeout=1800
+    ) as r:
+        assert len(json.loads(r.read())["objects"]) == 3
+    warm_s = time.monotonic() - t0
+
+    ok_lat: list = []
+    shed: list = []  # (queue_depth, retry_after_s)
+    errors: list = []
+    lock = threading.Lock()
+    t_start = time.monotonic()
+
+    def client(i: int):
+        while True:
+            with lock:
+                if len(ok_lat) >= args.requests:
+                    return
+            t = time.monotonic()
+            try:
+                req = urllib.request.Request(url, data=payload, method="POST")
+                with urllib.request.urlopen(req, timeout=1800) as r:
+                    body = json.loads(r.read())
+                    depth = int(r.headers.get("X-Queue-Depth", -1))
+                with lock:
+                    ok_lat.append((time.monotonic() - t, depth))
+            except urllib.error.HTTPError as e:
+                if e.code == 503:
+                    body = json.loads(e.read())
+                    with lock:
+                        shed.append((body["queue_depth"],
+                                     int(e.headers["Retry-After"])))
+                    # Honor the backoff signal (scaled down: the EMA is
+                    # seconds-long and the test would crawl).
+                    time.sleep(min(2.0, body["retry_after_s"] * 0.05))
+                else:
+                    with lock:
+                        errors.append(f"{e.code}: {e.read()[:200]}")
+                    return
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    total_s = time.monotonic() - t_start
+
+    lats = sorted(l for l, _ in ok_lat)
+    depths = [d for _, d in ok_lat]
+    n = len(lats)
+    report = {
+        "config": {
+            "clients": args.clients, "target_requests": args.requests,
+            "max_queue": args.max_queue, "platform": args.platform,
+            "preset": "small", "scene": SCENE,
+        },
+        "warm_compile_s": round(warm_s, 2),
+        "completed": n,
+        "requests_per_sec": round(n / total_s, 4),
+        "latency_s": {
+            "p50": round(lats[n // 2], 3),
+            "p95": round(lats[min(n - 1, int(n * 0.95))], 3),
+            "max": round(lats[-1], 3),
+        },
+        "queue_depth_on_arrival": {
+            "max": max(depths), "mean": round(sum(depths) / n, 2),
+        },
+        "shed_503": {
+            "count": len(shed),
+            "retry_after_s": sorted(set(r for _, r in shed)),
+        },
+        "errors": errors,
+        "policy": "single-flight device; <= max_queue waiters; beyond that "
+                  "503 + Retry-After = (depth+1) x EMA latency",
+    }
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report, indent=1))
+    return 0 if not errors else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
