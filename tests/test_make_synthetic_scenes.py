@@ -83,3 +83,39 @@ def test_stacked_scene_is_geometrically_consistent(tmp_path):
     # within its footprint (the generator jitters <= ~2 cm around the base).
     assert pt[2, 3] > pb[2, 3] + 0.02
     assert np.linalg.norm(pt[:2, 3] - pb[:2, 3]) < 0.05
+
+def test_hard_family_roundtrip(tmp_path):
+    """Hard family (occlusion + noise + dropout + distractor): the scene
+    still loads through the real loader, every labeled object keeps a
+    solvable visible footprint, and the corruption knobs actually applied."""
+    import json
+
+    sd = _generate(
+        tmp_path,
+        ["--objects", APC_OBJS, "--obj-config", OBJ_CFG, "--hard"],
+    )
+    sc = scene_mod.load_scene(sd, dataset="APC")
+    assert set(sc.object_names) == set(APC_OBJS.split(","))
+    with open(f"{sd}/hard_stats.json") as fh:
+        stats = json.load(fh)
+    assert stats["tilt_deg"] > 0 and stats["distractor"]
+    assert set(stats["occlusion_frac"]) == set(APC_OBJS.split(","))
+    # The camera is tilted: its world pose is not the straight-down one.
+    cam = np.asarray(sc.cam_pose)
+    assert abs(cam[2, 2] + 1.0) > 0.1  # z_cam no longer exactly -z_world
+    # Dropout: a visible share of in-frustum pixels is zeroed (the easy
+    # generator writes a full table plane - zero invalid pixels).
+    d = np.asarray(sc.depth)
+    assert (d == 0).mean() > 0.05
+    # Solvable: every labeled object keeps >= 250 mask pixels.
+    from PIL import Image
+
+    mask = np.asarray(Image.open(f"{sd}/frame-000000.mask.png"))
+    import yaml
+
+    with open(OBJ_CFG) as fh:
+        objcfg = yaml.safe_load(fh)["objects"]
+    ids = {objcfg[f"object_{i}"]["name"]: int(objcfg[f"object_{i}"]["classId"])
+           for i in range(1, int(objcfg["num_objects"]) + 1)}
+    for n in APC_OBJS.split(","):
+        assert (mask == ids[n]).sum() >= 250
