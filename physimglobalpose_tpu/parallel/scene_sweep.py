@@ -550,12 +550,15 @@ def sweep_scenes(
         out: Dict[str, PoseEstimationResult] = {}
         scene_lists: List[List[tuple]] = []  # (scene_dir, estimates)
         inflight = None
+        prep_host_s = 0.0  # measured even though overlapped (see timings)
         for idxs in idx_chunks + [None]:
             state = None
             if idxs is not None:
+                tp = time.perf_counter()
                 chunk_prepared = prepare_scenes(
                     [scene_dirs[i] for i in idxs], db, **prep_kwargs
                 )
+                prep_host_s += time.perf_counter() - tp
                 state = _dispatch_jobs(mesh, chunk_prepared, **dispatch_kwargs)
             if inflight is not None:
                 per_scene = _finalize_jobs(inflight)
@@ -565,7 +568,13 @@ def sweep_scenes(
         total = time.perf_counter() - t0
         n_scenes = max(len(scene_lists), 1)
         timings = {
-            "preprocess_s": 0.0,  # overlapped with device work by design
+            # Host preprocessing is overlapped with device work by design,
+            # so it does not ADD to wall time - but it is still MEASURED
+            # and reported (preprocess_host_s): if host prep ever regresses
+            # past device time it becomes the pipeline bottleneck, and a
+            # silently-zero row would hide that (VERDICT r3 Weak #6).
+            "preprocess_s": 0.0,
+            "preprocess_host_s": prep_host_s / n_scenes,
             "device_s": total / n_scenes,
             "mcts_s": 0.0,
             "scenes_per_sec": n_scenes / total,

@@ -9,6 +9,10 @@ production preset:
 - serial LCP scene (api.estimate_pose, warm, best of N)      [seconds/scene]
 - batched LCP sweep on this backend (8 scene copies)         [scenes/sec]
 - whole-scene MCTS (api.estimate_pose verification=MCTS)     [seconds/scene]
+- whole-scene LCP with NEURAL segmentation (FCNThreshold, the reference
+  demo's configuration - README.md:30) for both shipped checkpoints, with
+  the predictor's own inference time split out, plus the shipped nets'
+  mIoU on the bundled REAL frame vs frame-000000.mask.png (VERDICT r3 #2)
 
 Reference envelope to compare: full estimatePose per scene
 (main.cpp:86-171), 2 s/object Super4PCS budget (super4pcs_test.cc:20-37)
@@ -30,6 +34,7 @@ parser.add_argument("--repeat", type=int, default=3)
 parser.add_argument("--sweep-scenes", type=int, default=8)
 parser.add_argument("--out", default="WHOLE_SCENE_BENCH.json")
 parser.add_argument("--skip-mcts", action="store_true")
+parser.add_argument("--skip-fcn", action="store_true")
 args = parser.parse_args()
 
 if args.platform:
@@ -123,11 +128,26 @@ def main():
             None, sweep_dirs, db, dataset="APC", cfg=CFG,
             pipeline_chunks=chunks,
         )  # warm the per-chunk program shape
-        dt, _ = timed_best(lambda: scene_sweep.sweep_scenes(
+        dt, resc = timed_best(lambda: scene_sweep.sweep_scenes(
             None, sweep_dirs, db, dataset="APC", cfg=CFG,
             pipeline_chunks=chunks,
         ))
         out[f"lcp_sweep_pipelined{chunks}_scenes_per_sec"] = round(n / dt, 3)
+        tmg = resc[sweep_dirs[0]].timings
+        out[f"lcp_sweep_pipelined{chunks}_preprocess_host_s"] = round(
+            tmg.get("preprocess_host_s", 0.0), 3
+        )
+    out["pipelined_note"] = (
+        "Overlap is complete once the next chunk's HOST preprocessing (the "
+        "measured preprocess_host_s per scene, reported per row) hides "
+        "behind the current chunk's device program - 2 chunks already "
+        "achieve that on this scene batch. More chunks past that point only "
+        "SHRINK the per-dispatch job batch (an 8-scene sweep at 4 chunks "
+        "runs 2-scene = 6-job device programs), losing device-side batch "
+        "amortization with nothing left to hide; that is why "
+        "pipelined4 <= pipelined2. Tune pipeline_chunks to the smallest "
+        "value whose preprocess_host_s is below device_s."
+    )
 
     # --- whole-scene MCTS ---
     if not args.skip_mcts:
@@ -161,6 +181,82 @@ def main():
         ))
         out["mcts_sweep_scenes_per_sec"] = round(n / dt, 3)
         out["mcts_sweep_seconds_per_scene"] = round(dt / n, 3)
+
+    # --- whole-scene LCP with NEURAL segmentation (the reference demo's
+    # configuration: rosservice call ... "FCNThreshold" "PCS" "LCP",
+    # README.md:30). Both shipped checkpoints, predictor time split out.
+    if not args.skip_fcn:
+        from physimglobalpose_tpu.models import fcn as fcn_mod
+
+        for variant in ("small", "full"):
+            pred = fcn_mod.load_shipped_predictor(variant=variant)
+            pred_calls = []
+
+            def timed_pred(color, wanted, _p=pred, _c=pred_calls):
+                t0 = time.perf_counter()
+                r = _p(color, wanted)
+                _c.append(time.perf_counter() - t0)
+                return r
+
+            def run_fcn(seed):
+                return api.estimate_pose(
+                    SCENE, db, dataset="APC",
+                    segmentation_mode="FCNThreshold",
+                    hypothesis_mode="PCS", verification_mode="LCP",
+                    cfg=CFG, seed=seed, write_result=False,
+                    nn_predictor=timed_pred,
+                )
+
+            run_fcn(0)  # compile warm-up (predictor jit included)
+            ft = []
+            for _ in range(args.repeat):
+                pred_calls.clear()
+                t0 = time.perf_counter()
+                run_fcn(0)
+                ft.append((time.perf_counter() - t0, sum(pred_calls)))
+            best = min(ft)
+            out[f"fcn_{variant}_lcp_seconds_per_scene_warm"] = round(best[0], 3)
+            out[f"fcn_{variant}_predictor_seconds_per_scene"] = round(best[1], 3)
+
+        # mIoU of the shipped nets on the one REAL labeled frame in the
+        # environment (frame-000000.mask.png) - the honest real-imagery
+        # number for synthetic-only training data.
+        from PIL import Image
+
+        import jax.numpy as jnp
+
+        color = np.asarray(Image.open(os.path.join(SCENE, "frame-000000.color.png")))
+        gt_mask = np.asarray(Image.open(os.path.join(SCENE, "frame-000000.mask.png")))
+        scene_classes = sorted(int(c) for c in np.unique(gt_mask) if c != 0)
+        real = {"classes": scene_classes}
+        for variant in ("small", "full"):
+            params, meta = fcn_mod.load_params_npz(
+                fcn_mod.shipped_checkpoint_path(variant)
+            )
+            model = fcn_mod.build_model(meta["model"], meta["num_classes"])
+            hh, ww = color.shape[:2]
+            padded = np.zeros((640, 640, 3), np.float32)
+            padded[:hh, :ww] = color.astype(np.float32) / 255.0
+            logits = model.apply({"params": params}, jnp.asarray(padded)[None])
+            label = np.asarray(jnp.argmax(logits[0], -1))[:hh, :ww]
+            ious = {}
+            for c in scene_classes:
+                inter = float(((label == c) & (gt_mask == c)).sum())
+                union = float(((label == c) | (gt_mask == c)).sum())
+                ious[str(c)] = round(inter / union, 4) if union else 0.0
+            real[variant] = {
+                "per_class_iou": ious,
+                "miou": round(sum(ious.values()) / len(ious), 4),
+            }
+        real["note"] = (
+            "Shipped checkpoints are trained ONLY on this framework's "
+            "domain-randomized synthetic renders (no real APC imagery "
+            "exists in this environment - the reference's apc_weights.hdf5 "
+            "was trained on real captures, predict:59); this row is the "
+            "measured synthetic-to-real transfer on the single real "
+            "labeled frame available."
+        )
+        out["fcn_real_frame_miou"] = real
 
     out["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
     print(json.dumps(out, indent=1))
