@@ -324,20 +324,28 @@ def make_predictor(model: nn.Module, params, class_ids, input_size=(640, 640)):
 
     Matches the serving behavior of the reference `predict` node: pad to the
     square input, softmax, per-class max-normalize (predict:107-117), crop.
+
+    params MUST be a traced jit ARGUMENT, not a closure constant: closed-over
+    arrays are embedded in the compile payload, and the axon TPU backend's
+    remote-compile endpoint rejects oversized bodies (HTTP 413 at 2 M params
+    already; the full net is 134 M). As an argument they upload once through
+    the regular transfer path and the compiled program is weight-free.
     """
     import numpy as np
 
     @jax.jit
-    def _run(img):
-        logits = model.apply({"params": params}, img[None])
+    def _run(p, img):
+        logits = model.apply({"params": p}, img[None])
         return jax.nn.softmax(logits[0], axis=-1)
+
+    params_dev = jax.device_put(params)
 
     def predictor(color: "np.ndarray", wanted_ids):
         h, w = color.shape[:2]
         ph, pw = input_size
         padded = np.zeros((ph, pw, 3), np.float32)
         padded[:h, :w] = color.astype(np.float32) / 255.0
-        probs = np.asarray(_run(jnp.asarray(padded)))[:h, :w]
+        probs = np.asarray(_run(params_dev, jnp.asarray(padded)))[:h, :w]
         out = {}
         for c in wanted_ids:
             p = probs[..., c]

@@ -70,6 +70,13 @@ def main():
     )
     out = {"backend": backend, "scene": SCENE, "objects": 3}
 
+    def flush():
+        # Partial results survive a late-section failure (the FCN rows run
+        # last and exercise the axon compile path's size limits).
+        out["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
+
     # --- serial LCP scene, warm ---
     def run_lcp(seed):
         return api.estimate_pose(
@@ -85,6 +92,7 @@ def main():
         run_lcp(0)
         times.append(time.perf_counter() - t0)
     out["lcp_seconds_per_scene_warm"] = round(min(times), 3)
+    flush()
 
     # --- batched sweep (same scene replicated; measures steady throughput
     # including host preprocessing, which runs per copy) ---
@@ -148,6 +156,7 @@ def main():
         "pipelined4 <= pipelined2. Tune pipeline_chunks to the smallest "
         "value whose preprocess_host_s is below device_s."
     )
+    flush()
 
     # --- whole-scene MCTS ---
     if not args.skip_mcts:
@@ -181,6 +190,7 @@ def main():
         ))
         out["mcts_sweep_scenes_per_sec"] = round(n / dt, 3)
         out["mcts_sweep_seconds_per_scene"] = round(dt / n, 3)
+        flush()
 
     # --- whole-scene LCP with NEURAL segmentation (the reference demo's
     # configuration: rosservice call ... "FCNThreshold" "PCS" "LCP",
@@ -207,16 +217,20 @@ def main():
                     nn_predictor=timed_pred,
                 )
 
-            run_fcn(0)  # compile warm-up (predictor jit included)
-            ft = []
-            for _ in range(args.repeat):
-                pred_calls.clear()
-                t0 = time.perf_counter()
-                run_fcn(0)
-                ft.append((time.perf_counter() - t0, sum(pred_calls)))
-            best = min(ft)
-            out[f"fcn_{variant}_lcp_seconds_per_scene_warm"] = round(best[0], 3)
-            out[f"fcn_{variant}_predictor_seconds_per_scene"] = round(best[1], 3)
+            try:
+                run_fcn(0)  # compile warm-up (predictor jit included)
+                ft = []
+                for _ in range(args.repeat):
+                    pred_calls.clear()
+                    t0 = time.perf_counter()
+                    run_fcn(0)
+                    ft.append((time.perf_counter() - t0, sum(pred_calls)))
+                best = min(ft)
+                out[f"fcn_{variant}_lcp_seconds_per_scene_warm"] = round(best[0], 3)
+                out[f"fcn_{variant}_predictor_seconds_per_scene"] = round(best[1], 3)
+            except Exception as e:  # record, keep the other rows
+                out[f"fcn_{variant}_error"] = f"{type(e).__name__}: {e}"[:300]
+            flush()
 
         # mIoU of the shipped nets on the one REAL labeled frame in the
         # environment (frame-000000.mask.png) - the honest real-imagery
@@ -237,8 +251,17 @@ def main():
             hh, ww = color.shape[:2]
             padded = np.zeros((640, 640, 3), np.float32)
             padded[:hh, :ww] = color.astype(np.float32) / 255.0
-            logits = model.apply({"params": params}, jnp.asarray(padded)[None])
-            label = np.asarray(jnp.argmax(logits[0], -1))[:hh, :ww]
+
+            # params as a traced ARGUMENT (closure constants would ship the
+            # weights inside the axon compile payload - HTTP 413; see
+            # fcn.make_predictor).
+            @jax.jit
+            def _label(p, img, _m=model):
+                return jnp.argmax(_m.apply({"params": p}, img[None])[0], -1)
+
+            label = np.asarray(
+                _label(jax.device_put(params), jnp.asarray(padded))
+            )[:hh, :ww]
             ious = {}
             for c in scene_classes:
                 inter = float(((label == c) & (gt_mask == c)).sum())
