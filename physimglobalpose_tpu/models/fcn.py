@@ -232,6 +232,12 @@ _SHIPPED_CKPTS = {
     # mIoU 0.32 vs this net; numbers in ROUND3_NOTES.md), which is why the
     # atrous stride-16 sibling ships instead.
     "full": "fcn_synth_apc_vgg16_16s_full.npz",
+    # Transfer-randomized training (class-AGNOSTIC instance colors + pattern
+    # overlays + oblique camera, utils/synthdata.render_scene_transfer):
+    # the palette-trained variants key class->color, a correlation real
+    # imagery does not have (measured real-frame mIoU 0.137/0.024 -
+    # WHOLE_SCENE_BENCH.json); this one is forced to key on shape/size.
+    "transfer": "fcn_synth_apc_transfer.npz",
 }
 
 

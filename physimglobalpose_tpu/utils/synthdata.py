@@ -134,6 +134,195 @@ def render_scene(
     return (color * 255).astype(np.uint8), label, poses, depth
 
 
+def render_scene_transfer(
+    meshes: Dict[str, object],
+    class_ids: Dict[str, int],
+    rng: np.random.Generator,
+    intr: np.ndarray,
+    h: int,
+    w: int,
+    tilt_deg_range: Tuple[float, float] = (30.0, 70.0),
+    cam_dist_range: Tuple[float, float] = (0.55, 1.2),
+    max_objects: int = 3,
+    min_visible_px: int = 200,
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, np.ndarray], np.ndarray]:
+    """Transfer-oriented domain randomization: class-AGNOSTIC appearance.
+
+    render_scene keys each class to a fixed palette color - a shortcut that
+    does not exist in real imagery (real objects are printed packaging;
+    measured transfer of the palette-trained nets to the bundled real frame:
+    mIoU 0.14/0.02, WHOLE_SCENE_BENCH.json fcn_real_frame_miou). This
+    generator removes every color-class correlation so the net must key on
+    shape, size and context, which DO transfer:
+
+    - oblique camera (tilt sampled from tilt_deg_range, distance from
+      cam_dist_range) looking at objects resting on a table plane - the APC
+      rig geometry (a tripod camera in front of a shelf; SceneCfg.cpp
+      camera extrinsics), NOT the top-down view render_scene uses;
+    - per-INSTANCE random base color redrawn every scene + printed-packaging
+      pattern overlays (stripes / color patches / label-like rectangles in
+      1-3 extra random colors);
+    - background split at the table horizon: bright low-texture table below,
+      dark cluttered shelf-like noise above;
+    - sensor model: directional shading, Gaussian blur, per-channel gamma,
+      brightness jitter, additive noise.
+
+    Returns (color uint8 [h,w,3], label int32 [h,w], poses {name: [4,4]
+    CAMERA frame}, depth float32 [h,w]). Label 0 is background; the
+    duplicate-free object set is sampled like render_scene.
+    """
+    import jax.numpy as jnp
+    from scipy import ndimage
+    from scipy.spatial.transform import Rotation
+
+    from physimglobalpose_tpu.ops import raster_tri
+
+    names = list(meshes)
+    count = int(rng.integers(1, max_objects + 1))
+    chosen = list(rng.choice(names, size=count, replace=False))
+
+    # --- camera: tilt deg from straight-down toward +y, cam_dist from the
+    # table point it looks at (world table plane z=0). Same frame convention
+    # as scripts/make_synthetic_scenes.py --hard (z_cam into the scene).
+    tilt = np.deg2rad(rng.uniform(*tilt_deg_range))
+    cam_dist = rng.uniform(*cam_dist_range)
+    z_cam = np.array([0.0, np.sin(tilt), -np.cos(tilt)], np.float32)
+    eye = -cam_dist * z_cam  # looks at the world origin on the table
+    x_cam = np.array([1.0, 0.0, 0.0], np.float32)
+    y_cam = np.cross(z_cam, x_cam)
+    cam_pose = np.eye(4, dtype=np.float32)
+    cam_pose[:3, 0], cam_pose[:3, 1], cam_pose[:3, 2] = x_cam, y_cam, z_cam
+    cam_pose[:3, 3] = eye
+    cam_inv = np.eye(4, dtype=np.float32)
+    cam_inv[:3, :3] = cam_pose[:3, :3].T
+    cam_inv[:3, 3] = -cam_pose[:3, :3].T @ eye
+
+    # Per-pixel table depth by ray casting (sky where the ray misses).
+    us, vs = np.meshgrid(np.arange(w), np.arange(h))
+    rays = np.stack(
+        [(us - intr[0, 2]) / intr[0, 0], (vs - intr[1, 2]) / intr[1, 1],
+         np.ones_like(us, np.float32)], -1,
+    ).astype(np.float32)
+    dir_w = rays @ cam_pose[:3, :3].T
+    denom = dir_w[..., 2]
+    s = np.where(denom < -1e-6, (0.0 - eye[2]) / np.where(denom < -1e-6, denom, -1.0), 0.0)
+    # FINITE table: the real rig's table ends and the camera sees the shelf
+    # behind it (the bundled real frame's upper third). Rays hitting the
+    # plane beyond the extent are background clutter, not table.
+    ext_x = rng.uniform(0.5, 1.2)
+    ext_y_far = rng.uniform(0.25, 0.9)
+    hit = eye[None, None, :] + s[..., None] * dir_w
+    on_table = (
+        (s > 0)
+        & (np.abs(hit[..., 0]) < ext_x)
+        & (hit[..., 1] < ext_y_far)
+    )
+    table_depth = np.where(on_table, s, 0.0).astype(np.float32)
+
+    depth = table_depth.copy()
+    label = np.zeros((h, w), np.int32)
+    poses: Dict[str, np.ndarray] = {}
+    for name in chosen:
+        mesh = meshes[name]
+        v = np.asarray(mesh.vertices)
+        for _ in range(8):  # redraw until the instance is visibly in frame
+            yaw = Rotation.from_euler("z", rng.uniform(0, 360), degrees=True)
+            rot_w = yaw.as_matrix().astype(np.float32)
+            z_min = float((v @ rot_w.T)[:, 2].min())
+            pose_w = np.eye(4, dtype=np.float32)
+            pose_w[:3, :3] = rot_w
+            pose_w[:3, 3] = [
+                rng.uniform(-0.18, 0.18), rng.uniform(-0.15, 0.15),
+                -z_min + 0.001,
+            ]
+            pose_c = (cam_inv @ pose_w).astype(np.float32)
+            d_obj = np.asarray(
+                raster_tri.render_mesh_depth(
+                    jnp.asarray(pose_c), jnp.asarray(mesh.vertices),
+                    jnp.asarray(mesh.faces), jnp.ones(len(mesh.faces), bool),
+                    jnp.asarray(intr), h, w,
+                )
+            )
+            closer = (d_obj > 0) & ((d_obj < depth) | (depth <= 0))
+            if closer.sum() >= min_visible_px:
+                break
+        depth = np.where(closer, d_obj, depth)
+        label = np.where(closer, class_ids[name], label)
+        poses[name] = pose_c
+
+    # --- appearance (all class-agnostic) ---
+    color = np.empty((h, w, 3), np.float32)
+    sky = table_depth <= 0
+    # Table: bright, near-uniform - a smooth LUMINANCE wash (the real rig's
+    # table is plain; chroma-heavy blocky texture there teaches the net a
+    # context that never occurs).
+    base_t = rng.uniform(0.45, 0.9)
+    tint = rng.uniform(-0.05, 0.05, size=3)
+    lum = ndimage.gaussian_filter(
+        rng.normal(scale=1.0, size=(h, w)), sigma=rng.uniform(12, 30)
+    )
+    lum *= rng.uniform(0.03, 0.10) / max(lum.std(), 1e-6)
+    color[:] = np.clip(base_t + tint + lum[..., None], 0.0, 1.0)
+    # Sky/shelf: dark clutter - coarse quantized noise + sparse bright blobs.
+    kc = rng.uniform(0.0, 0.35, size=(max(h // 24, 2), max(w // 24, 2), 3))
+    bright = rng.random(kc.shape[:2]) < 0.06
+    kc[bright] = rng.uniform(0.5, 0.95, size=(int(bright.sum()), 3))
+    shelf = np.kron(kc, np.ones((-(-h // kc.shape[0]), -(-w // kc.shape[1]), 1)))[:h, :w]
+    color[sky] = shelf[sky]
+
+    # Objects: per-instance random base + pattern overlay.
+    front = np.where(depth > 0, depth, np.inf)
+    obj_any = label > 0
+    if obj_any.any():
+        shade_ref = front[obj_any].min()
+    else:
+        shade_ref = 1.0
+    shade = np.where(obj_any, 1.0 - 0.4 * (np.where(np.isfinite(front), front, 1.0) - shade_ref), 1.0)
+    uu = us / max(w, 1)
+    vv = vs / max(h, 1)
+    for name in chosen:
+        c = class_ids[name]
+        sel = label == c
+        if not sel.any():
+            continue
+        ncol = int(rng.integers(2, 5))
+        palette = rng.uniform(0.05, 0.95, size=(ncol, 3)).astype(np.float32)
+        kind = rng.choice(["stripes", "patches", "flat"])
+        if kind == "stripes":
+            f = rng.uniform(8, 40)
+            ang = rng.uniform(0, np.pi)
+            phase = rng.uniform(0, 2 * np.pi)
+            field = np.sin(2 * np.pi * f * (np.cos(ang) * uu + np.sin(ang) * vv) + phase)
+            idx = ((field + 1) / 2 * ncol).astype(int) % ncol
+        elif kind == "patches":
+            g = rng.integers(0, ncol, size=(max(h // 16, 2), max(w // 16, 2)))
+            idx = np.kron(g, np.ones((-(-h // g.shape[0]), -(-w // g.shape[1])), int))[:h, :w]
+        else:
+            idx = np.zeros((h, w), int)
+        tex = palette[idx]
+        # Label-like rectangle in a fresh color on ~half the instances.
+        if rng.random() < 0.5:
+            ys, xs = np.nonzero(sel)
+            cy, cx = int(np.median(ys)), int(np.median(xs))
+            rh = int(rng.uniform(0.1, 0.35) * (ys.max() - ys.min() + 1))
+            rw_ = int(rng.uniform(0.1, 0.35) * (xs.max() - xs.min() + 1))
+            lab_col = rng.uniform(0.05, 0.95, size=3)
+            tex[max(cy - rh, 0): cy + rh, max(cx - rw_, 0): cx + rw_] = lab_col
+        color[sel] = tex[sel]
+    # Directional lighting gradient + depth shading everywhere.
+    gx, gy = rng.uniform(-0.25, 0.25, size=2)
+    grad = 1.0 + gx * (uu - 0.5) + gy * (vv - 0.5)
+    color *= (shade * grad)[..., None]
+    # Sensor model: blur, noise, brightness, per-channel gamma.
+    color = ndimage.gaussian_filter(color, sigma=(rng.uniform(0.4, 1.2),) * 2 + (0.0,))
+    color += rng.normal(scale=rng.uniform(0.02, 0.06), size=color.shape)
+    color *= rng.uniform(0.8, 1.2)
+    color = np.clip(color, 1e-3, 1.0) ** rng.uniform(0.75, 1.3, size=3)
+    color = np.clip(color, 0.0, 1.0)
+    depth_out = np.where(np.isfinite(front) & (front > 0), front, 0.0).astype(np.float32)
+    return (color * 255).astype(np.uint8), label, poses, depth_out
+
+
 def crop_batch(
     colors: Sequence[np.ndarray],
     labels: Sequence[np.ndarray],

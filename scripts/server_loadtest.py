@@ -140,9 +140,22 @@ def main(argv=None):
         "errors": errors,
         "policy": "single-flight device; <= max_queue waiters; beyond that "
                   "503 + Retry-After = (depth+1) x EMA latency",
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
+    # Merge per-platform: the artifact keeps one section per backend so a
+    # TPU capture does not erase the CPU one (and vice versa). A legacy
+    # flat-format file is adopted as its own platform's section.
+    merged = {}
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            prev = json.load(fh)
+        if "config" in prev:  # legacy flat format
+            merged[prev["config"]["platform"]] = prev
+        else:
+            merged = prev
+    merged[args.platform] = report
     with open(args.out, "w") as fh:
-        json.dump(report, fh, indent=1)
+        json.dump(merged, fh, indent=1)
     print(json.dumps(report, indent=1))
     return 0 if not errors else 1
 

@@ -40,6 +40,13 @@ def main(argv=None):
     p.add_argument("--model", default="AtrousFCN_Vgg16_16s_small")
     p.add_argument("--domain-random", action="store_true",
                    help="harder randomized scenes (full-width training)")
+    p.add_argument("--appearance", default="palette",
+                   choices=["palette", "transfer"],
+                   help="palette: class-keyed colors (render_scene); "
+                        "transfer: class-AGNOSTIC instance colors + pattern "
+                        "overlays + oblique camera (render_scene_transfer) - "
+                        "forces shape/size keying for synthetic-to-real "
+                        "transfer")
     p.add_argument("--save-f16", action="store_true",
                    help="save weights as float16 (halves large checkpoints)")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
@@ -85,28 +92,28 @@ def main(argv=None):
     )
     intr2 = intr1 * np.array([[2.0], [2.0], [1.0]], np.float32)
     rng = np.random.default_rng(0)
-    print(f"rendering {args.scenes} training scenes (2 scales)...", flush=True)
+
+    def render(intr, hh, ww):
+        if args.appearance == "transfer":
+            return synthdata.render_scene_transfer(
+                meshes, OBJECTS, rng, intr, hh, ww)
+        return synthdata.render_scene(
+            meshes, OBJECTS, rng, intr, hh, ww,
+            domain_random=args.domain_random)
+
+    print(f"rendering {args.scenes} training scenes (2 scales, "
+          f"{args.appearance})...", flush=True)
     colors, labels = [], []
     for i in range(args.scenes):
         if i % 3 == 2:
-            c, l, _, _ = synthdata.render_scene(
-                meshes, OBJECTS, rng, intr2, 480, 640,
-                domain_random=args.domain_random)
+            c, l, _, _ = render(intr2, 480, 640)
         else:
-            c, l, _, _ = synthdata.render_scene(
-                meshes, OBJECTS, rng, intr1, 240, 320,
-                domain_random=args.domain_random)
+            c, l, _, _ = render(intr1, 240, 320)
         colors.append(c)
         labels.append(l)
     # Held-out scenes for the convergence check (both scales).
-    val = [
-        synthdata.render_scene(meshes, OBJECTS, rng, intr1, 240, 320,
-                               domain_random=args.domain_random)[:2]
-        for _ in range(4)
-    ] + [
-        synthdata.render_scene(meshes, OBJECTS, rng, intr2, 480, 640,
-                               domain_random=args.domain_random)[:2]
-        for _ in range(2)
+    val = [render(intr1, 240, 320)[:2] for _ in range(4)] + [
+        render(intr2, 480, 640)[:2] for _ in range(2)
     ]
 
     model = fcn.build_model(args.model, num_classes=NUM_CLASSES)
@@ -156,7 +163,9 @@ def main(argv=None):
             "model": args.model,
             "num_classes": NUM_CLASSES,
             "train": "synthetic (utils/synthdata.py)"
-                     + (" domain-randomized" if args.domain_random else ""),
+                     + (" domain-randomized" if args.domain_random else "")
+                     + (" transfer-randomized (class-agnostic appearance)"
+                        if args.appearance == "transfer" else ""),
             "steps": args.steps,
             "holdout_miou": miou,
         },
