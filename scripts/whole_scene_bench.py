@@ -243,7 +243,10 @@ def main():
         gt_mask = np.asarray(Image.open(os.path.join(SCENE, "frame-000000.mask.png")))
         scene_classes = sorted(int(c) for c in np.unique(gt_mask) if c != 0)
         real = {"classes": scene_classes}
-        for variant in ("small", "full"):
+        variants = ["small", "full"]
+        if os.path.exists(fcn_mod.shipped_checkpoint_path("transfer")):
+            variants.append("transfer")
+        for variant in variants:
             params, meta = fcn_mod.load_params_npz(
                 fcn_mod.shipped_checkpoint_path(variant)
             )
