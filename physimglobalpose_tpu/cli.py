@@ -24,9 +24,12 @@ def main(argv=None):
                         "(CAMSceneCfg analogue; any RGB-D source can write one)")
     p.add_argument("--scene", required=True,
                    help="scene directory (frame-000000.*), or .npz for CAM")
-    p.add_argument("--fcn-variant", default="small", choices=["small", "full"],
+    p.add_argument("--fcn-variant", default="small",
+                   choices=["small", "full", "prior"],
                    help="shipped FCN checkpoint for FCN/FCNThreshold modes: "
-                        "small (2.1M, fast) or full (134M AtrousFCN_Vgg16_16s)")
+                        "small (2.1M, fast), full (134M AtrousFCN_Vgg16_16s), "
+                        "or prior (2.1M trained with product-appearance "
+                        "priors - best measured real-imagery transfer)")
     p.add_argument("--segmentation", default="GT",
                    choices=["GT", "FCN", "FCNThreshold", "RCNN", "RCNNThreshold"])
     p.add_argument("--hypothesis", default="PCS", choices=["PCS", "SUPER4PCS", "V4PCS", "PPF_VOTING"])

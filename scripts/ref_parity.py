@@ -22,6 +22,13 @@ Two kinds of evidence come out:
 Usage:
   python scripts/ref_parity.py [--runs 3] [--out REF_PARITY.json]
   (build the oracle first: bash scripts/ref_oracle/build.sh)
+
+A framework-rendered synthetic scene closes the OTHER loop — the reference
+engine recovering a pose this framework rendered validates the
+rasterizer/codec/intrinsics conventions behind every SYNTH_EVAL number:
+  python scripts/make_synthetic_scenes.py --scenes 1 --out /tmp/rp_synth
+  python scripts/ref_parity.py --scene /tmp/rp_synth/scene_000 \
+      --out REF_PARITY_SYNTH.json
 """
 
 from __future__ import annotations
@@ -138,6 +145,15 @@ def main(argv=None):
         "REF_PARITY.json"))
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--timeout", type=int, default=1800)
+    ap.add_argument("--scene", default=SCENE,
+                    help="scene dir (reference layout); a framework-rendered "
+                    "synthetic scene (scripts/make_synthetic_scenes.py) "
+                    "validates the renderer/codec conventions against the "
+                    "reference engine - its gt_info.yml poses add "
+                    "oracle-vs-GT rows")
+    ap.add_argument("--dataset", default="APC", choices=["APC", "YCB"])
+    ap.add_argument("--obj-config", default=OBJ_CFG)
+    ap.add_argument("--model-dir", default=MODELS)
     args = ap.parse_args(argv)
 
     if not os.path.exists(args.oracle):
@@ -163,14 +179,14 @@ def main(argv=None):
     os.makedirs(os.path.join(args.workdir, "debug_super4PCS"), exist_ok=True)
     models_dir = os.path.join(args.workdir, "models")
 
+    print("== preprocessing scene ==", flush=True)
+    sc = scene_mod.load_scene(args.scene, dataset=args.dataset)
+
     print("== preparing object DB (full production config) ==", flush=True)
     db = objectdb.load_object_db(
-        OBJ_CFG, MODELS, config=cfg, cache_dir="/tmp/ppf_cache_full",
-        only=OBJECTS,
+        args.obj_config, args.model_dir, config=cfg,
+        cache_dir="/tmp/ppf_cache_full", only=list(sc.object_names),
     )
-
-    print("== preprocessing scene ==", flush=True)
-    sc = scene_mod.load_scene(SCENE, dataset="APC")
     key = jax.random.key(args.seed)
     k_table, key = jax.random.split(key)
     depth_clean, _plane, _tpose = scene_mod.remove_table(
@@ -184,7 +200,7 @@ def main(argv=None):
 
     report = {
         "meta": {
-            "scene": SCENE,
+            "scene": args.scene,
             "oracle": "reference super4pcs StoCS engine "
                       "(match4pcsBase.cc, path-patched only - see "
                       "scripts/ref_oracle/build.sh)",
@@ -304,6 +320,29 @@ def main(argv=None):
         obj_pass = (pose_close or score_wins) and cross_ok
         all_pass &= obj_pass
 
+        # On scenes with GT poses (framework-rendered synthetic scenes),
+        # the ORACLE recovering the rendered pose validates this
+        # framework's rasterizer/codec/intrinsics conventions against the
+        # reference engine - the strongest answer to "the synthetic GT is
+        # self-referential".
+        gt_check = None
+        if sc.gt_poses and name in sc.gt_poses:
+            gt_cam = np.linalg.inv(np.asarray(sc.cam_pose, np.float64)) @ (
+                np.asarray(sc.gt_poses[name], np.float64))
+            o_rot, o_tr = metrics.pose_error(
+                jnp.asarray(best_run["best_pose"], jnp.float32),
+                jnp.asarray(gt_cam, jnp.float32), jnp.asarray(obj.symmetry))
+            f_rot, f_tr = metrics.pose_error(
+                jnp.asarray(fw_pose, jnp.float32),
+                jnp.asarray(gt_cam, jnp.float32), jnp.asarray(obj.symmetry))
+            gt_check = {
+                "oracle_vs_gt": {"rot_deg": float(o_rot), "trans_m": float(o_tr)},
+                "framework_vs_gt": {"rot_deg": float(f_rot), "trans_m": float(f_tr)},
+            }
+            print(f"   vs rendered GT: oracle {float(o_rot):.2f} deg/"
+                  f"{float(o_tr)*1000:.1f} mm, framework {float(f_rot):.2f} deg/"
+                  f"{float(f_tr)*1000:.1f} mm", flush=True)
+
         report["objects"][name] = {
             "segment_points": n_seg,
             "oracle": {
@@ -336,6 +375,8 @@ def main(argv=None):
                 "pass": obj_pass,
             },
         }
+        if gt_check is not None:
+            report["objects"][name]["vs_rendered_gt"] = gt_check
         print(f"   agreement: rot {rot_err:.2f} deg trans {trans_err*1000:.1f} mm "
               f"| cross-check diff {abs(cross - best_run['best_lcp']):.4f} "
               f"| {'PASS' if obj_pass else 'FAIL'}", flush=True)

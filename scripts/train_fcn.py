@@ -41,12 +41,16 @@ def main(argv=None):
     p.add_argument("--domain-random", action="store_true",
                    help="harder randomized scenes (full-width training)")
     p.add_argument("--appearance", default="palette",
-                   choices=["palette", "transfer"],
+                   choices=["palette", "transfer", "prior"],
                    help="palette: class-keyed colors (render_scene); "
                         "transfer: class-AGNOSTIC instance colors + pattern "
                         "overlays + oblique camera (render_scene_transfer) - "
                         "forces shape/size keying for synthetic-to-real "
-                        "transfer")
+                        "transfer (measured negative, ROUND4_NOTES 7b); "
+                        "prior: transfer randomization but with per-product "
+                        "dominant-color priors (synthdata.PRODUCT_COLOR_PRIORS "
+                        "- public product appearance knowledge, no test-frame "
+                        "pixels)")
     p.add_argument("--save-f16", action="store_true",
                    help="save weights as float16 (halves large checkpoints)")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
@@ -94,9 +98,18 @@ def main(argv=None):
     rng = np.random.default_rng(0)
 
     def render(intr, hh, ww):
-        if args.appearance == "transfer":
+        if args.appearance in ("transfer", "prior"):
+            # prior mode: closer camera than the transfer default - the real
+            # rig's objects subtend 150-250 px at 640x480 (frame-000000);
+            # at cam_dist up to 1.2 m the renders train a 2-4x smaller
+            # apparent scale and the net misses the serving scale entirely
+            # (first prior run: held-out 0.535, real-frame 0.035).
+            dist = (0.38, 0.85) if args.appearance == "prior" else (0.55, 1.2)
             return synthdata.render_scene_transfer(
-                meshes, OBJECTS, rng, intr, hh, ww)
+                meshes, OBJECTS, rng, intr, hh, ww,
+                cam_dist_range=dist,
+                color_priors=(synthdata.PRODUCT_COLOR_PRIORS
+                              if args.appearance == "prior" else None))
         return synthdata.render_scene(
             meshes, OBJECTS, rng, intr, hh, ww,
             domain_random=args.domain_random)
@@ -165,7 +178,9 @@ def main(argv=None):
             "train": "synthetic (utils/synthdata.py)"
                      + (" domain-randomized" if args.domain_random else "")
                      + (" transfer-randomized (class-agnostic appearance)"
-                        if args.appearance == "transfer" else ""),
+                        if args.appearance == "transfer" else "")
+                     + (" prior-randomized (product color priors)"
+                        if args.appearance == "prior" else ""),
             "steps": args.steps,
             "holdout_miou": miou,
         },

@@ -198,7 +198,10 @@ def main():
     if not args.skip_fcn:
         from physimglobalpose_tpu.models import fcn as fcn_mod
 
-        for variant in ("small", "full"):
+        timed_variants = ["small", "full"]
+        if os.path.exists(fcn_mod.shipped_checkpoint_path("prior")):
+            timed_variants.append("prior")
+        for variant in timed_variants:
             pred = fcn_mod.load_shipped_predictor(variant=variant)
             pred_calls = []
 
@@ -218,16 +221,42 @@ def main():
                 )
 
             try:
-                run_fcn(0)  # compile warm-up (predictor jit included)
+                res = run_fcn(0)  # compile warm-up (predictor jit included)
                 ft = []
                 for _ in range(args.repeat):
                     pred_calls.clear()
                     t0 = time.perf_counter()
-                    run_fcn(0)
+                    res = run_fcn(0)
                     ft.append((time.perf_counter() - t0, sum(pred_calls)))
                 best = min(ft)
                 out[f"fcn_{variant}_lcp_seconds_per_scene_warm"] = round(best[0], 3)
                 out[f"fcn_{variant}_predictor_seconds_per_scene"] = round(best[1], 3)
+                # Pose agreement vs the golden GT-segmentation poses
+                # (tests/golden/, reference-oracle corroborated by
+                # REF_PARITY.json): does the NEURAL segmentation stage
+                # reproduce the GT-mask pipeline's answer on the real frame?
+                golden_path = os.path.join(
+                    os.path.dirname(__file__), "..", "tests", "golden",
+                    "bundled_scene_world_poses.json")
+                with open(golden_path) as fh:
+                    golden = {k: np.asarray(v, np.float32)
+                              for k, v in json.load(fh).items()}
+                import jax.numpy as jnp
+
+                from physimglobalpose_tpu.geometry import metrics
+                agree = {}
+                for obj in res.objects:
+                    if obj.name not in golden:
+                        continue
+                    rot, tr = metrics.pose_error(
+                        jnp.asarray(obj.pose_world),
+                        jnp.asarray(golden[obj.name]),
+                        jnp.asarray(db[obj.name].symmetry))
+                    agree[obj.name] = {
+                        "rot_deg": round(float(rot), 2),
+                        "trans_m": round(float(tr), 4),
+                    }
+                out[f"fcn_{variant}_vs_golden_pose"] = agree
             except Exception as e:  # record, keep the other rows
                 out[f"fcn_{variant}_error"] = f"{type(e).__name__}: {e}"[:300]
             flush()
@@ -244,8 +273,9 @@ def main():
         scene_classes = sorted(int(c) for c in np.unique(gt_mask) if c != 0)
         real = {"classes": scene_classes}
         variants = ["small", "full"]
-        if os.path.exists(fcn_mod.shipped_checkpoint_path("transfer")):
-            variants.append("transfer")
+        for extra in ("transfer", "prior"):
+            if os.path.exists(fcn_mod.shipped_checkpoint_path(extra)):
+                variants.append(extra)
         for variant in variants:
             params, meta = fcn_mod.load_params_npz(
                 fcn_mod.shipped_checkpoint_path(variant)

@@ -105,6 +105,36 @@ def test_transfer_appearance_is_class_agnostic(meshes):
     )
 
 
+def test_prior_appearance_keys_product_colors(meshes):
+    # With color_priors the folgers instances must be measurably REDDER than
+    # kleenex instances across scenes (the product prior restores the
+    # color-class correlation real packaging has; ROUND4_NOTES 7b) - the
+    # opposite contract of test_transfer_appearance_is_class_agnostic.
+    # The statistic is comparative redness (R - max(G,B)), which survives
+    # the generator's exposure/desaturation/palette-roll jitter that makes
+    # any absolute-hue gate flaky.
+    f_red, k_red = [], []
+    for s in range(16):
+        rng = np.random.default_rng(200 + s)
+        color, label, _, _ = synthdata.render_scene_transfer(
+            meshes, OBJECTS, rng, INTR, 240, 320,
+            color_priors=synthdata.PRODUCT_COLOR_PRIORS,
+        )
+        for name, acc in (("folgers_classic_roast_coffee", f_red),
+                          ("kleenex_tissue_box", k_red)):
+            sel = label == OBJECTS[name]
+            if sel.sum() < 100:
+                continue
+            px = color[sel].astype(np.float32) / 255.0
+            acc.append(float((px[:, 0] - px[:, 1:].max(1)).mean()))
+    assert len(f_red) >= 6 and len(k_red) >= 6
+    fm, km = float(np.mean(f_red)), float(np.mean(k_red))
+    # Folgers (red can) must be redder than kleenex (light-blue box) on
+    # average, by a margin the class-agnostic generator cannot produce.
+    assert fm > km + 0.05, f"prior lost product color keying: {fm:.3f} vs {km:.3f}"
+    assert km < 0.02, f"kleenex reads red: {km:.3f}"
+
+
 def test_transfer_background_split(meshes):
     # Oblique camera: the frame has both a table region and a shelf/sky
     # region, and the table is brighter on average (the APC rig look).
