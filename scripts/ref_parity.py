@@ -26,8 +26,9 @@ Usage:
 A framework-rendered synthetic scene closes the OTHER loop — the reference
 engine recovering a pose this framework rendered validates the
 rasterizer/codec/intrinsics conventions behind every SYNTH_EVAL number:
-  python scripts/make_synthetic_scenes.py --scenes 1 --out /tmp/rp_synth
-  python scripts/ref_parity.py --scene /tmp/rp_synth/scene_000 \
+  python scripts/make_synthetic_scenes.py --n 1 --out /tmp/rp_synth \
+      --objects kleenex_tissue_box,expo_dry_erase_board_eraser,folgers_classic_roast_coffee
+  python scripts/ref_parity.py --scene /tmp/rp_synth/scene_0000 \
       --out REF_PARITY_SYNTH.json
 """
 

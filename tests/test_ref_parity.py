@@ -32,6 +32,7 @@ from physimglobalpose_tpu.geometry import metrics
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PARITY = os.path.join(REPO, "REF_PARITY.json")
+PARITY_SYNTH = os.path.join(REPO, "REF_PARITY_SYNTH.json")
 OBJ_CFG = (
     "/root/reference/src/physim_pose_estimation/src/data_layer/obj_config.yml"
 )
@@ -52,8 +53,8 @@ def _symmetries():
     return out
 
 
-def _report():
-    with open(PARITY) as fh:
+def _report(path=PARITY):
+    with open(path) as fh:
         return json.load(fh)
 
 
@@ -102,3 +103,53 @@ def test_best_pose_agreement_recomputed():
             f"{trans_err * 1000:.1f} mm from the reference's, and does not "
             f"score competitively"
         )
+
+
+# ---------------------------------------------------------------------------
+# REF_PARITY_SYNTH.json: the OTHER direction of the parity loop. The scene is
+# rendered by THIS framework's triangle rasterizer + APC codec
+# (scripts/make_synthetic_scenes.py), then solved by the ACTUAL reference
+# engine. The reference recovering the rendered GT validates the
+# renderer/codec/intrinsics conventions behind every SYNTH_EVAL accuracy
+# number against the real C++ — a shared convention bias (flipped intrinsics,
+# codec misread, mirrored raster) would make the oracle miss the GT here.
+# ---------------------------------------------------------------------------
+
+synth_skip = pytest.mark.skipif(
+    not os.path.exists(PARITY_SYNTH), reason="REF_PARITY_SYNTH.json not present"
+)
+
+
+@synth_skip
+def test_synth_oracle_recovers_framework_rendered_gt():
+    """The reference engine solves the framework-rendered scene to its GT."""
+    rep = _report(PARITY_SYNTH)
+    assert rep["objects"], "synthetic parity artifact has no objects"
+    for name, obj in rep["objects"].items():
+        gt = obj["vs_rendered_gt"]["oracle_vs_gt"]
+        assert gt["rot_deg"] <= 10.0 and gt["trans_m"] <= 0.02, (
+            f"{name}: reference oracle pose is {gt['rot_deg']:.1f} deg / "
+            f"{gt['trans_m'] * 1000:.1f} mm from the framework-rendered GT — "
+            f"rendering-convention mismatch"
+        )
+
+
+@synth_skip
+def test_synth_lcp_cross_check_and_agreement():
+    """Same two gates as the bundled scene, on the synthetic scene."""
+    rep = _report(PARITY_SYNTH)
+    for name, obj in rep["objects"].items():
+        cross = obj["lcp_cross_check"]
+        diff = abs(
+            cross["framework_lcp_of_oracle_pose"] - cross["oracle_reported_lcp"]
+        )
+        assert diff <= 0.05, f"{name}: LCP cross-check diff {diff:.4f} > 0.05"
+        ag = obj["agreement"]
+        pose_close = (
+            ag["rot_err_deg_folded"] <= 10.0 and ag["trans_err_m"] <= 0.02
+        )
+        score_wins = (
+            ag["framework_lcp_of_own_pose"]
+            >= cross["framework_lcp_of_oracle_pose"] - 0.01
+        )
+        assert pose_close or score_wins, f"{name}: synthetic parity fails"
