@@ -141,6 +141,10 @@ def main(argv=None):
     ap.add_argument("--runs", type=int, default=3,
                     help="oracle runs per object (StoCS is stochastic; the "
                     "best-LCP run is taken as the reference's answer)")
+    ap.add_argument("--fw-runs", type=int, default=1,
+                    help="framework runs per object (best-of-N, mirroring "
+                    "the oracle's best-of-N - use >1 on hard/occluded "
+                    "scenes where single-draw StoCS variance is high)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "REF_PARITY.json"))
@@ -206,6 +210,7 @@ def main(argv=None):
                       "(match4pcsBase.cc, path-patched only - see "
                       "scripts/ref_oracle/build.sh)",
             "oracle_runs_per_object": args.runs,
+            "framework_runs_per_object": args.fw_runs,
             "seed": args.seed,
             "config": "DEFAULT_CONFIG (production static shapes)",
             "gates": {
@@ -278,20 +283,25 @@ def main(argv=None):
                   flush=True)
         best_run = max(oracle_runs, key=lambda r: r["best_lcp"])
 
-        # ---- framework run on the same segment ----
+        # ---- framework run on the same segment (best-of-N, like the
+        # oracle's best-of-N: both systems are stochastic samplers) ----
         t0 = time.time()
-        fw = hypothesis.generate_hypotheses(
-            k_hyp, seg,
-            jnp.asarray(obj.search_pts), jnp.asarray(obj.search_mask),
-            obj.ppf_table,
-            jnp.asarray(obj.validation_pts), jnp.asarray(obj.validation_nrm),
-            cfg,
-        )
-        fw_pose = np.asarray(fw.best_transform, np.float64)
-        fw_score = float(fw.best_score)
+        fw_pose, fw_score = None, -np.inf
+        for r in range(args.fw_runs):
+            k_hyp, k_run = jax.random.split(k_hyp)
+            fw = hypothesis.generate_hypotheses(
+                k_run, seg,
+                jnp.asarray(obj.search_pts), jnp.asarray(obj.search_mask),
+                obj.ppf_table,
+                jnp.asarray(obj.validation_pts), jnp.asarray(obj.validation_nrm),
+                cfg,
+            )
+            if float(fw.best_score) > fw_score:
+                fw_score = float(fw.best_score)
+                fw_pose = np.asarray(fw.best_transform, np.float64)
         fw_wall = time.time() - t0
         print(f"   framework: lcp={fw_score:.4f} ({fw_wall:.1f} s incl. "
-              "compile)", flush=True)
+              f"compile, best of {args.fw_runs})", flush=True)
 
         # ---- one common scorer: the framework's weighted LCP ----
         def fw_lcp(pose44):

@@ -261,6 +261,47 @@ def main():
                 out[f"fcn_{variant}_error"] = f"{type(e).__name__}: {e}"[:300]
             flush()
 
+        # --- everything-on configuration: NEURAL segmentation + MCTS ---
+        # The reference demo pairs FCNThreshold with LCP (README.md:30); the
+        # paper's headline method is the physics-aware MCTS. This row times
+        # both stages together - the full pipeline with no GT inputs at all.
+        if not args.skip_mcts:
+            for variant in ("small", "prior"):
+                if not os.path.exists(fcn_mod.shipped_checkpoint_path(variant)):
+                    continue
+                pred = fcn_mod.load_shipped_predictor(variant=variant)
+                pred_calls = []
+
+                def timed_pred(color, wanted, _p=pred, _c=pred_calls):
+                    t0 = time.perf_counter()
+                    r = _p(color, wanted)
+                    _c.append(time.perf_counter() - t0)
+                    return r
+
+                def run_fcn_mcts(seed):
+                    return api.estimate_pose(
+                        SCENE, db, dataset="APC",
+                        segmentation_mode="FCNThreshold",
+                        hypothesis_mode="PCS", verification_mode="MCTS",
+                        cfg=CFG, seed=seed, write_result=False,
+                        nn_predictor=timed_pred,
+                    )
+
+                try:
+                    run_fcn_mcts(0)  # warm-up
+                    ft = []
+                    for _ in range(args.repeat):
+                        pred_calls.clear()
+                        t0 = time.perf_counter()
+                        run_fcn_mcts(0)
+                        ft.append((time.perf_counter() - t0, sum(pred_calls)))
+                    best = min(ft)
+                    out[f"fcn_{variant}_mcts_seconds_per_scene_warm"] = round(best[0], 3)
+                    out[f"fcn_{variant}_mcts_predictor_seconds_per_scene"] = round(best[1], 3)
+                except Exception as e:
+                    out[f"fcn_{variant}_mcts_error"] = f"{type(e).__name__}: {e}"[:300]
+                flush()
+
         # mIoU of the shipped nets on the one REAL labeled frame in the
         # environment (frame-000000.mask.png) - the honest real-imagery
         # number for synthetic-only training data.
