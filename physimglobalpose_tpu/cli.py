@@ -30,6 +30,11 @@ def main(argv=None):
                         "small (2.1M, fast), full (134M AtrousFCN_Vgg16_16s), "
                         "or prior (2.1M trained with product-appearance "
                         "priors - best measured real-imagery transfer)")
+    p.add_argument("--fcn-tta", action="store_true",
+                   help="multi-scale (0.5/0.75/1.0) FCN test-time "
+                        "augmentation, fused into one device program; "
+                        "measured real-frame mIoU 0.419 -> 0.469 on the "
+                        "prior variant (scripts/r4_fcn_tta_probe.py)")
     p.add_argument("--segmentation", default="GT",
                    choices=["GT", "FCN", "FCNThreshold", "RCNN", "RCNNThreshold"])
     p.add_argument("--hypothesis", default="PCS", choices=["PCS", "SUPER4PCS", "V4PCS", "PPF_VOTING"])
@@ -109,6 +114,7 @@ def main(argv=None):
             debug_dir=args.debug_dir,
             scene=scene_obj,
             fcn_variant=args.fcn_variant,
+            fcn_tta=args.fcn_tta,
             write_result=args.dataset != "CAM" or args.result is not None,
         )
         if args.repeat > 1:

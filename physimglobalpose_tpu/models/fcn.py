@@ -258,7 +258,8 @@ def shipped_checkpoint_path(variant: str = "small") -> str:
     )
 
 
-def load_shipped_predictor(input_size=(640, 640), variant: str = "small"):
+def load_shipped_predictor(input_size=(640, 640), variant: str = "small",
+                           tta_scales=(1.0,)):
     """Predictor from the shipped checkpoint - the default for
     `--segmentation FCN` when no external predictor is injected.
 
@@ -281,7 +282,8 @@ def load_shipped_predictor(input_size=(640, 640), variant: str = "small"):
         )
     params, meta = load_params_npz(path)
     model = build_model(meta["model"], num_classes=meta["num_classes"])
-    return make_predictor(model, params, None, input_size=input_size)
+    return make_predictor(model, params, None, input_size=input_size,
+                          tta_scales=tta_scales)
 
 
 def _maybe_shard(x, spec: Sequence):
@@ -335,11 +337,23 @@ def make_train_step(model: nn.Module, tx: optax.GradientTransformation):
     return train_step
 
 
-def make_predictor(model: nn.Module, params, class_ids, input_size=(640, 640)):
+def make_predictor(model: nn.Module, params, class_ids, input_size=(640, 640),
+                   tta_scales=(1.0,)):
     """Build an nn_predictor callable for pipeline/segmentation.py.
 
     Matches the serving behavior of the reference `predict` node: pad to the
     square input, softmax, per-class max-normalize (predict:107-117), crop.
+
+    tta_scales: multi-scale test-time augmentation — softmax probabilities
+    averaged over the image rendered at each scale (bilinear, device-side),
+    all inside ONE jitted program so the dispatch/readback cost stays that of
+    a single inference (the predictor is transfer-bound, see below). Measured
+    on the bundled real frame (scripts/r4_fcn_tta_probe.py, prior variant):
+    scales (0.5, 0.75, 1.0) lift real-frame mIoU 0.419 -> 0.469 with no
+    regression on held-out synthetic scenes (0.828 -> 0.831); the palette
+    net is flat under the same TTA, so the gain is transfer-specific.
+    Default (1.0,) = no augmentation (the synthetic-domain paths are tuned
+    without it).
 
     params MUST be a traced jit ARGUMENT, not a closure constant: closed-over
     arrays are embedded in the compile payload, and the axon TPU backend's
@@ -360,14 +374,33 @@ def make_predictor(model: nn.Module, params, class_ids, input_size=(640, 640)):
     """
     import numpy as np
 
+    scales = tuple(tta_scales)
+    assert 1.0 in scales, "tta_scales must include the native scale 1.0"
+
     @jax.jit
     def _run(p, img_u8, idx):
         h, w = img_u8.shape[0], img_u8.shape[1]
         ph, pw = input_size
         img = img_u8.astype(jnp.float32) / 255.0
-        img = jnp.pad(img, ((0, ph - h), (0, pw - w), (0, 0)))
-        logits = model.apply({"params": p}, img[None])[0]
-        probs = jax.nn.softmax(logits[:h, :w].astype(jnp.float32), axis=-1)
+        acc = None
+        for s in scales:
+            if s == 1.0:
+                x, sh, sw = img, h, w
+                chs, cws = ph, pw  # the serving canvas (predict:64-155)
+            else:
+                # Scaled canvas padded to the net's stride-16 grid; logits
+                # cropped to the scaled content then upsampled back.
+                sh, sw = int(round(h * s)), int(round(w * s))
+                x = jax.image.resize(img, (sh, sw, 3), "bilinear")
+                chs, cws = (sh + 15) // 16 * 16, (sw + 15) // 16 * 16
+            x = jnp.pad(x, ((0, chs - sh), (0, cws - sw), (0, 0)))
+            logits = model.apply({"params": p}, x[None])[0]
+            probs = jax.nn.softmax(logits[:sh, :sw].astype(jnp.float32), -1)
+            if s != 1.0:
+                probs = jax.image.resize(
+                    probs, (h, w, probs.shape[-1]), "bilinear")
+            acc = probs if acc is None else acc + probs
+        probs = acc / len(scales)
         sel = probs[..., idx]                      # [h, w, k]
         m = jnp.max(sel, axis=(0, 1))              # [k]
         sel = sel / jnp.maximum(m, 1e-20)          # max==0 -> stays all-zero

@@ -110,6 +110,31 @@ class PoseEstimationResult:
         return next(o for o in self.objects if o.name == name)
 
 
+def default_result_path(scene_dir: str) -> str:
+    """Where result.txt goes when the caller gave no path.
+
+    Prefer the scene directory (the reference writes result.txt next to the
+    frames, main.cpp:160-165); fall back to the cwd when the scene is
+    read-only. NOTE: os.access(W_OK) is useless for that check when running
+    as root (root passes every permission check even on r-x directories), so
+    the owner-write mode bit is required too - a dataset directory marked
+    read-only must never be written into regardless of privilege.
+    """
+    import stat as _stat
+
+    try:
+        writable = bool(
+            os.stat(scene_dir).st_mode & _stat.S_IWUSR
+        ) and os.access(scene_dir, os.W_OK)
+    except OSError:
+        writable = False
+    return (
+        os.path.join(scene_dir, "result.txt")
+        if writable
+        else os.path.abspath("result.txt")
+    )
+
+
 def write_result_txt(path: str, result: PoseEstimationResult) -> None:
     """result.txt in the reference format: 'name trans... quat(x y z w)' rows.
 
@@ -144,6 +169,7 @@ def estimate_pose(
     debug_dir: Optional[str] = None,
     scene: Optional["scene_mod.Scene"] = None,
     fcn_variant: str = "small",
+    fcn_tta: bool = False,
 ) -> PoseEstimationResult:
     """Estimate 6D poses for every object in a scene.
 
@@ -182,7 +208,12 @@ def estimate_pose(
         # AtrousFCN_Vgg16_16s (models/fcn.py _SHIPPED_CKPTS).
         from physimglobalpose_tpu.models import fcn as fcn_mod
 
-        nn_predictor = fcn_mod.load_shipped_predictor(variant=fcn_variant)
+        # fcn_tta: multi-scale prob averaging in one device program - the
+        # measured real-imagery transfer win (fcn.make_predictor docstring).
+        nn_predictor = fcn_mod.load_shipped_predictor(
+            variant=fcn_variant,
+            tta_scales=(0.5, 0.75, 1.0) if fcn_tta else (1.0,),
+        )
     if segmentation_mode in ("RCNN", "RCNNThreshold") and detector is None:
         # No injected detector: the shipped FCN doubles as the region scorer
         # (the reference's Faster-RCNN service slot, bin/detect_bbox).
@@ -452,14 +483,7 @@ def estimate_pose(
     result = PoseEstimationResult(objects=estimates, timings=timings)
     if write_result:
         if result_path is None:
-            # Prefer the scene directory (the reference writes result.txt next
-            # to the frames, main.cpp:160-165); fall back to the cwd when the
-            # scene is read-only.
-            result_path = (
-                os.path.join(scene_dir, "result.txt")
-                if os.access(scene_dir, os.W_OK)
-                else os.path.abspath("result.txt")
-            )
+            result_path = default_result_path(scene_dir)
         write_result_txt(result_path, result)
         timings["result_path"] = result_path
     return result

@@ -22,6 +22,10 @@ parser.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
 parser.add_argument("--ckpt", nargs="*", default=None,
                     help="checkpoint .npz paths (default: shipped)")
 parser.add_argument("--json", action="store_true", help="print one JSON line")
+parser.add_argument("--tta", action="store_true",
+                    help="multi-scale (0.5/0.75/1.0) prob averaging - the "
+                         "production fcn_tta path (fcn.make_predictor); "
+                         "probe grid in scripts/r4_fcn_tta_probe.py")
 args = parser.parse_args()
 
 import jax
@@ -61,9 +65,33 @@ def main():
 
         # params as a traced ARGUMENT (closure constants ship the weights in
         # the axon compile payload - HTTP 413; fcn.make_predictor rationale).
+        scales = (0.5, 0.75, 1.0) if args.tta else (1.0,)
+
         @jax.jit
         def _label(p, img, _m=model):
-            return jnp.argmax(_m.apply({"params": p}, img[None])[0], -1)
+            # Multi-scale softmax averaging, the fcn.make_predictor
+            # tta_scales semantics (argmax over ALL classes for IoU).
+            acc = None
+            for s in scales:
+                if s == 1.0:
+                    x, sh, sw = img, 640, 640
+                else:
+                    # Scale the CONTENT region (like fcn.make_predictor),
+                    # not the zero-padded serving canvas.
+                    sh, sw = int(round(hh * s)), int(round(ww * s))
+                    x = jax.image.resize(img[:hh, :ww], (sh, sw, 3),
+                                         "bilinear")
+                chs, cws = (sh + 15) // 16 * 16, (sw + 15) // 16 * 16
+                x = jnp.pad(x, ((0, chs - sh), (0, cws - sw), (0, 0)))
+                logits = _m.apply({"params": p}, x[None])[0]
+                probs = jax.nn.softmax(logits[:sh, :sw].astype(jnp.float32), -1)
+                if s != 1.0:
+                    probs = jax.image.resize(
+                        probs, (hh, ww, probs.shape[-1]), "bilinear")
+                    probs = jnp.pad(
+                        probs, ((0, 640 - hh), (0, 640 - ww), (0, 0)))
+                acc = probs if acc is None else acc + probs
+            return jnp.argmax(acc, -1)
 
         label = np.asarray(_label(jax.device_put(params), jnp.asarray(padded)))[
             :hh, :ww

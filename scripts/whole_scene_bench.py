@@ -198,11 +198,17 @@ def main():
     if not args.skip_fcn:
         from physimglobalpose_tpu.models import fcn as fcn_mod
 
-        timed_variants = ["small", "full"]
+        # (row label, checkpoint variant, tta_scales). prior_tta = the
+        # production --fcn-tta path: multi-scale prob averaging fused into
+        # ONE device program (fcn.make_predictor tta_scales), so its latency
+        # delta vs the plain prior row IS the TTA cost.
+        timed_variants = [("small", "small", (1.0,)), ("full", "full", (1.0,))]
         if os.path.exists(fcn_mod.shipped_checkpoint_path("prior")):
-            timed_variants.append("prior")
-        for variant in timed_variants:
-            pred = fcn_mod.load_shipped_predictor(variant=variant)
+            timed_variants.append(("prior", "prior", (1.0,)))
+            timed_variants.append(("prior_tta", "prior", (0.5, 0.75, 1.0)))
+        for variant_label, variant, tta_scales in timed_variants:
+            pred = fcn_mod.load_shipped_predictor(
+                variant=variant, tta_scales=tta_scales)
             pred_calls = []
 
             def timed_pred(color, wanted, _p=pred, _c=pred_calls):
@@ -229,8 +235,8 @@ def main():
                     res = run_fcn(0)
                     ft.append((time.perf_counter() - t0, sum(pred_calls)))
                 best = min(ft)
-                out[f"fcn_{variant}_lcp_seconds_per_scene_warm"] = round(best[0], 3)
-                out[f"fcn_{variant}_predictor_seconds_per_scene"] = round(best[1], 3)
+                out[f"fcn_{variant_label}_lcp_seconds_per_scene_warm"] = round(best[0], 3)
+                out[f"fcn_{variant_label}_predictor_seconds_per_scene"] = round(best[1], 3)
                 # Pose agreement vs the golden GT-segmentation poses
                 # (tests/golden/, reference-oracle corroborated by
                 # REF_PARITY.json): does the NEURAL segmentation stage
@@ -256,9 +262,9 @@ def main():
                         "rot_deg": round(float(rot), 2),
                         "trans_m": round(float(tr), 4),
                     }
-                out[f"fcn_{variant}_vs_golden_pose"] = agree
+                out[f"fcn_{variant_label}_vs_golden_pose"] = agree
             except Exception as e:  # record, keep the other rows
-                out[f"fcn_{variant}_error"] = f"{type(e).__name__}: {e}"[:300]
+                out[f"fcn_{variant_label}_error"] = f"{type(e).__name__}: {e}"[:300]
             flush()
 
         # --- everything-on configuration: NEURAL segmentation + MCTS ---

@@ -89,6 +89,27 @@ def test_estimate_pose_gt_pcs_lcp(db, tmp_path):
     assert len(lines[0].split()) == 8
 
 
+def test_default_result_path_respects_readonly_scene(tmp_path):
+    # A read-only dataset directory must never be written into, even as root
+    # (os.access alone passes every check for euid 0 - the bug that once put
+    # a result.txt inside the read-only reference tree).
+    import os
+
+    rw = tmp_path / "rw_scene"
+    rw.mkdir()
+    assert api.default_result_path(str(rw)) == str(rw / "result.txt")
+    ro = tmp_path / "ro_scene"
+    ro.mkdir()
+    os.chmod(ro, 0o555)
+    try:
+        assert api.default_result_path(str(ro)) == os.path.abspath("result.txt")
+    finally:
+        os.chmod(ro, 0o755)
+    # The bundled reference scene itself is the real case.
+    assert api.default_result_path("/root/reference/test-scene") == \
+        os.path.abspath("result.txt")
+
+
 def test_fcn_path_with_fake_predictor(db):
     """FCNThreshold strategy wiring: a predictor that returns the GT masks."""
     sc = scene_mod.load_scene(SCENE, dataset="APC")
