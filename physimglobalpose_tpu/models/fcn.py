@@ -286,6 +286,56 @@ def load_shipped_predictor(input_size=(640, 640), variant: str = "small",
                           tta_scales=tta_scales)
 
 
+def make_labeler(model: nn.Module, height: int, width: int,
+                 input_size=(640, 640), tta_scales=(1.0,)):
+    """Full-class argmax labeler for EVALUATION (IoU vs a GT class mask).
+
+    make_predictor serves max-normalized per-class maps for the requested
+    classes (the reference `predict` contract); IoU evaluation instead wants
+    the argmax over ALL classes. Shares the multi-scale TTA semantics with
+    make_predictor: softmax probabilities averaged over tta_scales (content
+    scaled, stride-16-padded canvases), one jitted program. params is a
+    traced argument (axon compile-payload limit - see make_predictor).
+
+    Returns labeler(params_dev, color_u8[h, w, 3]) -> int32 label[h, w].
+    """
+    import numpy as np
+
+    scales = tuple(tta_scales)
+    assert 1.0 in scales, "tta_scales must include the native scale 1.0"
+    h, w = height, width
+    ph, pw = input_size
+
+    @jax.jit
+    def _label(p, img_u8):
+        img = img_u8.astype(jnp.float32) / 255.0
+        acc = None
+        for s in scales:
+            if s == 1.0:
+                x, sh, sw = img, h, w
+                chs, cws = ph, pw
+            else:
+                sh, sw = int(round(h * s)), int(round(w * s))
+                x = jax.image.resize(img, (sh, sw, 3), "bilinear")
+                chs, cws = (sh + 15) // 16 * 16, (sw + 15) // 16 * 16
+            x = jnp.pad(x, ((0, chs - sh), (0, cws - sw), (0, 0)))
+            logits = model.apply({"params": p}, x[None])[0]
+            probs = jax.nn.softmax(logits[:sh, :sw].astype(jnp.float32), -1)
+            if s != 1.0:
+                probs = jax.image.resize(probs, (h, w, probs.shape[-1]),
+                                         "bilinear")
+            acc = probs if acc is None else acc + probs
+        return jnp.argmax(acc, -1)
+
+    def labeler(params_dev, color):
+        img = np.asarray(color)[:h, :w]
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        return np.asarray(_label(params_dev, jnp.asarray(img)))
+
+    return labeler
+
+
 def _maybe_shard(x, spec: Sequence):
     """Apply a sharding constraint when running under a mesh, no-op otherwise."""
     try:

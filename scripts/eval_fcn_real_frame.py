@@ -34,7 +34,6 @@ if args.platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
@@ -55,47 +54,14 @@ def main():
     gt = np.asarray(Image.open(os.path.join(SCENE, "frame-000000.mask.png")))
     classes = sorted(int(c) for c in np.unique(gt) if c != 0)
     hh, ww = color.shape[:2]
-    padded = np.zeros((640, 640, 3), np.float32)
-    padded[:hh, :ww] = color.astype(np.float32) / 255.0
+    scales = (0.5, 0.75, 1.0) if args.tta else (1.0,)
 
-    out = {"classes": classes}
+    out = {"classes": classes, "tta_scales": list(scales)}
     for path in ckpts:
         params, meta = fcn.load_params_npz(path)
         model = fcn.build_model(meta["model"], meta["num_classes"])
-
-        # params as a traced ARGUMENT (closure constants ship the weights in
-        # the axon compile payload - HTTP 413; fcn.make_predictor rationale).
-        scales = (0.5, 0.75, 1.0) if args.tta else (1.0,)
-
-        @jax.jit
-        def _label(p, img, _m=model):
-            # Multi-scale softmax averaging, the fcn.make_predictor
-            # tta_scales semantics (argmax over ALL classes for IoU).
-            acc = None
-            for s in scales:
-                if s == 1.0:
-                    x, sh, sw = img, 640, 640
-                else:
-                    # Scale the CONTENT region (like fcn.make_predictor),
-                    # not the zero-padded serving canvas.
-                    sh, sw = int(round(hh * s)), int(round(ww * s))
-                    x = jax.image.resize(img[:hh, :ww], (sh, sw, 3),
-                                         "bilinear")
-                chs, cws = (sh + 15) // 16 * 16, (sw + 15) // 16 * 16
-                x = jnp.pad(x, ((0, chs - sh), (0, cws - sw), (0, 0)))
-                logits = _m.apply({"params": p}, x[None])[0]
-                probs = jax.nn.softmax(logits[:sh, :sw].astype(jnp.float32), -1)
-                if s != 1.0:
-                    probs = jax.image.resize(
-                        probs, (hh, ww, probs.shape[-1]), "bilinear")
-                    probs = jnp.pad(
-                        probs, ((0, 640 - hh), (0, 640 - ww), (0, 0)))
-                acc = probs if acc is None else acc + probs
-            return jnp.argmax(acc, -1)
-
-        label = np.asarray(_label(jax.device_put(params), jnp.asarray(padded)))[
-            :hh, :ww
-        ]
+        labeler = fcn.make_labeler(model, hh, ww, tta_scales=scales)
+        label = labeler(jax.device_put(params), color)
         ious = {}
         for c in classes:
             inter = float(((label == c) & (gt == c)).sum())

@@ -319,35 +319,29 @@ def main():
         gt_mask = np.asarray(Image.open(os.path.join(SCENE, "frame-000000.mask.png")))
         scene_classes = sorted(int(c) for c in np.unique(gt_mask) if c != 0)
         real = {"classes": scene_classes}
-        variants = ["small", "full"]
+        miou_rows = [("small", "small", (1.0,)), ("full", "full", (1.0,))]
         for extra in ("transfer", "prior"):
             if os.path.exists(fcn_mod.shipped_checkpoint_path(extra)):
-                variants.append(extra)
-        for variant in variants:
+                miou_rows.append((extra, extra, (1.0,)))
+        if os.path.exists(fcn_mod.shipped_checkpoint_path("prior")):
+            # The production --fcn-tta configuration (fcn.make_predictor
+            # tta_scales; probe grid in scripts/r4_fcn_tta_probe.py).
+            miou_rows.append(("prior_tta", "prior", (0.5, 0.75, 1.0)))
+        hh, ww = color.shape[:2]
+        for row_label, variant, tta_scales in miou_rows:
             params, meta = fcn_mod.load_params_npz(
                 fcn_mod.shipped_checkpoint_path(variant)
             )
             model = fcn_mod.build_model(meta["model"], meta["num_classes"])
-            hh, ww = color.shape[:2]
-            padded = np.zeros((640, 640, 3), np.float32)
-            padded[:hh, :ww] = color.astype(np.float32) / 255.0
-
-            # params as a traced ARGUMENT (closure constants would ship the
-            # weights inside the axon compile payload - HTTP 413; see
-            # fcn.make_predictor).
-            @jax.jit
-            def _label(p, img, _m=model):
-                return jnp.argmax(_m.apply({"params": p}, img[None])[0], -1)
-
-            label = np.asarray(
-                _label(jax.device_put(params), jnp.asarray(padded))
-            )[:hh, :ww]
+            labeler = fcn_mod.make_labeler(model, hh, ww,
+                                           tta_scales=tta_scales)
+            label = labeler(jax.device_put(params), color)
             ious = {}
             for c in scene_classes:
                 inter = float(((label == c) & (gt_mask == c)).sum())
                 union = float(((label == c) | (gt_mask == c)).sum())
                 ious[str(c)] = round(inter / union, 4) if union else 0.0
-            real[variant] = {
+            real[row_label] = {
                 "per_class_iou": ious,
                 "miou": round(sum(ious.values()) / len(ious), 4),
             }
