@@ -212,7 +212,10 @@ def main():
     # trip amortizes to ~1.9 ms/batch (pipe=8: ~3.9, ~6% slower; deeper than
     # 16 is inside run-to-run noise). Production streaming (the scene sweep's
     # pipelined dispatch) consumes the pipeline the same way.
-    pipe = 16 if on_tpu else 1
+    # BENCH_PIPE overrides the dispatch-pipeline depth for tuning probes
+    # (default 16: measured optimum band - r3 notes; 32 re-measured r4:
+    # inside noise of 16, so 16 stays).
+    pipe = int(os.environ.get("BENCH_PIPE", "16")) if on_tpu else 1
     iters = 5 if on_tpu else 1
     times = []
     for i in range(iters):

@@ -169,6 +169,7 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
 
     from physimglobalpose_tpu.config import DEFAULT_CONFIG

@@ -153,3 +153,56 @@ def test_synth_lcp_cross_check_and_agreement():
             >= cross["framework_lcp_of_oracle_pose"] - 0.01
         )
         assert pose_close or score_wins, f"{name}: synthetic parity fails"
+
+
+# ---------------------------------------------------------------------------
+# REF_PARITY_HARD.json: parity ON THE HARD FAMILY - a framework-rendered
+# scene from the occlusion/contact/noise/distractor generator
+# (make_synthetic_scenes.py --hard, max occlusion ~0.74). The agreement and
+# LCP-cross-check gates are the same as the easy scenes: even where
+# per-object best-LCP selection is known to degrade (SYNTH_EVAL "hard": LCP
+# 79% within 2 cm), the two implementations of THAT ALGORITHM must still
+# agree with each other. No oracle-vs-GT gate here by design - under >70%
+# occlusion the reference algorithm itself may miss the GT; what must hold
+# is that both systems miss (or hit) IDENTICALLY enough to score within the
+# common-scorer margin.
+# ---------------------------------------------------------------------------
+
+PARITY_HARD = os.path.join(REPO, "REF_PARITY_HARD.json")
+
+hard_skip = pytest.mark.skipif(
+    not os.path.exists(PARITY_HARD), reason="REF_PARITY_HARD.json not present"
+)
+
+
+@hard_skip
+def test_hard_scene_lcp_cross_check_and_agreement():
+    """Both parity gates hold on the heavy-occlusion hard-family scene."""
+    rep = _report(PARITY_HARD)
+    assert len(rep["objects"]) == 3
+    syms = _symmetries()
+    for name, obj in rep["objects"].items():
+        cross = obj["lcp_cross_check"]
+        diff = abs(
+            cross["framework_lcp_of_oracle_pose"] - cross["oracle_reported_lcp"]
+        )
+        assert diff <= 0.05, (
+            f"{name}: hard-scene LCP cross-check diff {diff:.4f} > 0.05"
+        )
+        # Recompute the folded pose error from the recorded 4x4s (do not
+        # trust the artifact's own pass flags).
+        fw_pose = np.asarray(obj["framework"]["best_pose"], np.float32)
+        or_pose = np.asarray(obj["oracle"]["best_pose"], np.float32)
+        rot_err, trans_err = metrics.pose_error(
+            jnp.asarray(fw_pose), jnp.asarray(or_pose), jnp.asarray(syms[name])
+        )
+        pose_close = float(rot_err) <= 10.0 and float(trans_err) <= 0.02
+        score_wins = (
+            obj["agreement"]["framework_lcp_of_own_pose"]
+            >= cross["framework_lcp_of_oracle_pose"] - 0.01
+        )
+        assert pose_close or score_wins, (
+            f"{name}: hard-scene disagreement - {float(rot_err):.1f} deg / "
+            f"{float(trans_err) * 1000:.1f} mm from the oracle pose and not "
+            f"score-competitive"
+        )
