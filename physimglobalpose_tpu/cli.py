@@ -25,11 +25,11 @@ def main(argv=None):
     p.add_argument("--scene", required=True,
                    help="scene directory (frame-000000.*), or .npz for CAM")
     p.add_argument("--fcn-variant", default="small",
-                   choices=["small", "full", "prior"],
+                   choices=["small", "prior"],
                    help="shipped FCN checkpoint for FCN/FCNThreshold modes: "
-                        "small (2.1M, fast), full (134M AtrousFCN_Vgg16_16s), "
-                        "or prior (2.1M trained with product-appearance "
-                        "priors - best measured real-imagery transfer)")
+                        "small (2.1M, fast, synthetic domain) or prior "
+                        "(2.1M trained with product-appearance priors - "
+                        "best measured real-imagery transfer)")
     p.add_argument("--fcn-tta", action="store_true",
                    help="multi-scale (0.5/0.75/1.0) FCN test-time "
                         "augmentation, fused into one device program; "

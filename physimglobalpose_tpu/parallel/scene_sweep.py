@@ -606,7 +606,10 @@ def sweep_scenes(
             for si, pj in enumerate(prepared)
         ]
         refined_rows = mcts_mod.mcts_select_multi(
-            scene_rows, db, cfg, seed=seed, mesh=mesh
+            scene_rows, db, cfg, seed=seed, mesh=mesh,
+            # Stacked per-scene Segment3D: enables the final-pass TrICP
+            # refinement (cfg.mcts.tricp_final) in the shared final dispatch.
+            segs_list=[pj.segs for pj in prepared],
         )
         for si in per_scene:
             per_scene[si] = refined_rows[si]

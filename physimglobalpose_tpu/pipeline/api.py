@@ -117,15 +117,21 @@ def default_result_path(scene_dir: str) -> str:
     frames, main.cpp:160-165); fall back to the cwd when the scene is
     read-only. NOTE: os.access(W_OK) is useless for that check when running
     as root (root passes every permission check even on r-x directories), so
-    the owner-write mode bit is required too - a dataset directory marked
-    read-only must never be written into regardless of privilege.
+    the mode bit of the class that applies to THIS process (owner/group/
+    other) is required too - a dataset directory marked read-only must never
+    be written into regardless of privilege.
     """
     import stat as _stat
 
     try:
-        writable = bool(
-            os.stat(scene_dir).st_mode & _stat.S_IWUSR
-        ) and os.access(scene_dir, os.W_OK)
+        st = os.stat(scene_dir)
+        if st.st_uid == os.geteuid():
+            bit = _stat.S_IWUSR
+        elif st.st_gid == os.getegid() or st.st_gid in os.getgroups():
+            bit = _stat.S_IWGRP
+        else:
+            bit = _stat.S_IWOTH
+        writable = bool(st.st_mode & bit) and os.access(scene_dir, os.W_OK)
     except OSError:
         writable = False
     return (
@@ -215,11 +221,19 @@ def estimate_pose(
             tta_scales=(0.5, 0.75, 1.0) if fcn_tta else (1.0,),
         )
     if segmentation_mode in ("RCNN", "RCNNThreshold") and detector is None:
-        # No injected detector: the shipped FCN doubles as the region scorer
-        # (the reference's Faster-RCNN service slot, bin/detect_bbox).
-        from physimglobalpose_tpu.pipeline.detector import make_fcn_detector
+        # No injected detector: serve the TRAINED detection network when its
+        # checkpoint ships (models/detect.py - the reference's Faster-RCNN
+        # service slot, bin/detect_bbox); fall back to the shipped FCN as a
+        # region scorer on checkouts without it.
+        from physimglobalpose_tpu.models import detect as detect_mod
+        from physimglobalpose_tpu.pipeline.detector import (
+            make_fcn_detector, make_learned_detector,
+        )
 
-        detector = make_fcn_detector()
+        if os.path.exists(detect_mod.shipped_checkpoint_path()):
+            detector = make_learned_detector()
+        else:
+            detector = make_fcn_detector()
 
     with trace_span(tracer, "segmentation"):
         class_ids = [db.class_of(n) for n in sc.object_names]
@@ -439,6 +453,10 @@ def estimate_pose(
             estimates = mcts_select(
                 estimates, sc, db, np.asarray(table_pose_world), depth_clean, cfg,
                 seed=seed, search="greedy" if verification_mode == "GREEDY" else "uct",
+                # Per-object 3D segments enable the final-pass TrICP
+                # refinement (cfg.mcts.tricp_final; UCTState::performTrICP
+                # revived - see pipeline/mcts._tricp_final_core).
+                segs=[segs_by_name[e.name] for e in estimates],
             )
         timings["search_s"] = time.perf_counter() - t_mcts
     elif verification_mode != "LCP":

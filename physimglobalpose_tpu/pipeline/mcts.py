@@ -102,12 +102,19 @@ def _leaf_eval_one(consts, cfg, h, w, radius, choice_row, active_row):
     MultiSceneLeafEvaluator (vmap over (scene, leaf) rows after a per-row
     scene gather).
     """
-    ph = cfg.physics
     k = consts["hull_pts"].shape[0]
     num_hyp = consts["hyp_world"].shape[1]
-
     safe_choice = jnp.clip(choice_row, 0, num_hyp - 1)
     poses_w = consts["hyp_world"][jnp.arange(k), safe_choice]  # [K, 4, 4]
+    return _settle_render_cost(consts, cfg, h, w, radius, poses_w, active_row)
+
+
+def _settle_render_cost(consts, cfg, h, w, radius, poses_w, active_row):
+    """Settle explicit world poses, then render + pixel cost (the leaf body,
+    split out so the TrICP final pass can feed refined poses through the
+    identical settle/cost path)."""
+    ph = cfg.physics
+    k = consts["hull_pts"].shape[0]
     order_pos = jnp.cumsum(active_row.astype(jnp.int32)) - 1
     quat = se3.matrix_to_quat(poses_w[:, :3, :3])
     pos = poses_w[:, :3, 3]
@@ -169,21 +176,149 @@ def _leaf_eval_one(consts, cfg, h, w, radius, choice_row, active_row):
         inv_mass = jnp.where(is_dynamic, 1.0 / ph.object_mass, 0.0)
         q2, p2 = run_settle(scene_for(inv_mass, active_row), quat, pos, dyn_of(is_dynamic))
     settled_w = se3.pose_from_rot_trans(se3.quat_to_matrix(q2), p2)
-    # Render all placed objects in camera frame: one scatter pass composites
-    # every object (associative scatter-min == the reference's per-object
-    # min-composite, UCTState.cpp:62-68). The max_depth clamp is the
-    # reference's 1 m render cut (renderScene.cpp:70): objects pushed out of
-    # the workspace render as empty, so their pixels count as unexplained
-    # rather than wrongly-explained.
-    settled_cam = jnp.einsum("ij,kjl->kil", consts["cam_pose_inv"], settled_w)
+    c = _render_cost_of_poses(consts, cfg, h, w, radius, settled_w, active_row)
+    return c, settled_w
+
+
+def _render_cost_of_poses(consts, cfg, h, w, radius, poses_w, active_row):
+    """Pixel cost of explicit world poses (no settle).
+
+    Render all placed objects in camera frame: one scatter pass composites
+    every object (associative scatter-min == the reference's per-object
+    min-composite, UCTState.cpp:62-68). The max_depth clamp is the
+    reference's 1 m render cut (renderScene.cpp:70): objects pushed out of
+    the workspace render as empty, so their pixels count as unexplained
+    rather than wrongly-explained.
+    """
+    poses_cam = jnp.einsum("ij,kjl->kil", consts["cam_pose_inv"], poses_w)
     depth = raster.render_scene_depth(
-        settled_cam, consts["render_pts"],
+        poses_cam, consts["render_pts"],
         consts["render_mask"] & active_row[:, None],
         consts["intr"], h, w, radius=radius,
         max_depth=cfg.render.max_render_depth,
     )
-    c = cost_mod.render_cost(consts["obs"], depth, cfg.render.explanation_threshold)
-    return c, settled_w
+    return cost_mod.render_cost(
+        consts["obs"], depth, cfg.render.explanation_threshold
+    )
+
+
+_TRICP_MODEL_POINTS = 1024  # strided model-cloud budget for the ICP matmuls
+
+
+def _tricp_refine_cam(poses_c, model_pts, model_nrm, model_mask, seg_pts,
+                      seg_mask, active, cfg):
+    """Sequential unexplained-segment trimmed ICP, camera frame.
+
+    UCTState::performTrICP (UCTState.cpp:121-204) semantics: for each placed
+    object in placement order, drop segment points within
+    tricp_removal_radius of ANY already-placed object's transformed model
+    cloud (the kd-tree radius filter, UCTState.cpp:158-175), then refine the
+    object's pose by trimmed point-to-point ICP against the remaining
+    segment (PCL TrimmedICP: keep the best tricp_trim fraction of segment
+    correspondences). TPU shape: the radius filter is one [N, i*M] distance
+    matmul; the ICP is ops/icp._icp_single with exact trimming. Objects are
+    skipped (pose passed through) when inactive, when the unexplained
+    segment is degenerate (<10 points), or when the solve goes non-finite.
+    """
+    from physimglobalpose_tpu.ops import icp as icp_mod
+
+    mc = cfg.mcts
+    k = poses_c.shape[0]
+    far = 1e4  # masked points live 10 km away: never matched, no overflow
+    placed: list = []  # transformed model clouds of already-placed objects
+    out = []
+    for i in range(k):
+        seg_m = seg_mask[i]
+        if placed:
+            allp = jnp.concatenate(placed, axis=0)  # [i*M, 3]
+            d2 = (
+                jnp.sum(seg_pts[i] * seg_pts[i], axis=-1)[:, None]
+                + jnp.sum(allp * allp, axis=-1)[None, :]
+                - 2.0 * seg_pts[i] @ allp.T
+            )
+            seg_m = seg_m & (
+                jnp.min(d2, axis=-1) > mc.tricp_removal_radius ** 2
+            )
+        mp = jnp.where(model_mask[i][:, None], model_pts[i], far)
+        tf = icp_mod._icp_single(
+            poses_c[i], mp, model_nrm[i], seg_pts[i], seg_m,
+            iters=mc.tricp_iters,
+            trim_fraction=mc.tricp_trim,
+            max_corr_dist=mc.tricp_max_corr_dist,
+            point_to_plane=False,  # PCL TrimmedICP is point-to-point
+            exact_trim=True,       # the trim IS the outlier model here
+        )
+        ok = active[i] & jnp.all(jnp.isfinite(tf)) & (jnp.sum(seg_m) >= 10)
+        tf = jnp.where(ok, tf, poses_c[i])
+        out.append(tf)
+        placed.append(
+            jnp.where(
+                model_mask[i][:, None] & active[i],
+                model_pts[i] @ tf[:3, :3].T + tf[:3, 3], far,
+            )
+        )
+    return jnp.stack(out)
+
+
+def _tricp_final_core(consts, cam_pose, model_nrm, seg_pts, seg_mask,
+                      cfg, h, w, radius, choices, active):
+    """Final-state evaluation with TrICP refinement, ONE scene.
+
+    Three candidate final states through the identical settle/cost path:
+      0: raw chosen hypotheses -> settle           (the pre-r5 behavior)
+      1: TrICP -> settle   (reference expandNode order, Search.cpp:43-47)
+      2: settle -> TrICP polish (cost re-rendered; data-pull after physics)
+    Returns (costs [3], settled [3, K, 4, 4]); the caller installs the
+    argmin row - the refinement can only improve the render cost.
+    """
+    k, num_hyp = consts["hyp_world"].shape[:2]
+    safe_choice = jnp.clip(choices, 0, num_hyp - 1)
+    poses_w = consts["hyp_world"][jnp.arange(k), safe_choice]
+    stride = max(1, consts["render_pts"].shape[1] // _TRICP_MODEL_POINTS)
+    mp = consts["render_pts"][:, ::stride]
+    mm = consts["render_mask"][:, ::stride]
+    mn = model_nrm[:, ::stride]
+    cam_inv = consts["cam_pose_inv"]
+
+    poses_c = jnp.einsum("ij,kjl->kil", cam_inv, poses_w)
+    refined_c = _tricp_refine_cam(
+        poses_c, mp, mn, mm, seg_pts, seg_mask, active, cfg
+    )
+    refined_w = jnp.einsum("ij,kjl->kil", cam_pose, refined_c)
+
+    c0, s0 = _settle_render_cost(consts, cfg, h, w, radius, poses_w, active)
+    c1, s1 = _settle_render_cost(consts, cfg, h, w, radius, refined_w, active)
+    s0_c = jnp.einsum("ij,kjl->kil", cam_inv, s0)
+    polish_c = _tricp_refine_cam(
+        s0_c, mp, mn, mm, seg_pts, seg_mask, active, cfg
+    )
+    s2 = jnp.einsum("ij,kjl->kil", cam_pose, polish_c)
+    c2 = _render_cost_of_poses(consts, cfg, h, w, radius, s2, active)
+    return jnp.stack([c0, c1, c2]), jnp.stack([s0, s1, s2])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "h", "w", "radius"))
+def _tricp_final_jit(consts, cam_pose, model_nrm, seg_pts, seg_mask,
+                     cfg, h, w, radius, choices, active):
+    return _tricp_final_core(
+        consts, cam_pose, model_nrm, seg_pts, seg_mask,
+        cfg, h, w, radius, choices, active,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "h", "w", "radius"))
+def _tricp_final_multi_jit(consts, cam_pose, model_nrm, seg_pts, seg_mask,
+                           cfg, h, w, radius, choices, active):
+    """Multi-scene variant: one row per scene, all scenes in one dispatch."""
+
+    def one(consts_i, cam_i, mn_i, sp_i, sm_i, ch_i, ac_i):
+        return _tricp_final_core(
+            consts_i, cam_i, mn_i, sp_i, sm_i, cfg, h, w, radius, ch_i, ac_i
+        )
+
+    return jax.vmap(one)(
+        consts, cam_pose, model_nrm, seg_pts, seg_mask, choices, active
+    )
 
 
 def _decimate_contact_hull(h: dict, max_vertices: int) -> dict:
@@ -290,12 +425,17 @@ class BatchedLeafEvaluator:
 
         n_max = max(h["render_pts"].shape[0] for h in obj_hulls)
         render_pts = np.zeros((k, n_max, 3), np.float32)
+        render_nrm = np.zeros((k, n_max, 3), np.float32)
         render_mask = np.zeros((k, n_max), bool)
         for i, h in enumerate(obj_hulls):
             rp = h["render_pts"]
             render_pts[i, : len(rp)] = rp
             render_mask[i, : len(rp)] = h["render_mask"][: len(rp)]
+            rn = h.get("render_nrm")
+            if rn is not None:
+                render_nrm[i, : len(rn)] = rn
         self.render_pts = jnp.asarray(render_pts)
+        self.render_nrm = jnp.asarray(render_nrm)
         self.render_mask = jnp.asarray(render_mask)
         self.hyp_world = jnp.asarray(hypotheses_world)
         self.table_pose = jnp.asarray(table_pose)
@@ -361,6 +501,24 @@ class BatchedLeafEvaluator:
         costs, settled = _eval_batch_jit(
             self.consts_full, self.cfg, self.h, self.w, self.splat_radius,
             jnp.asarray(batch_choices), jnp.asarray(batch_active),
+        )
+        return np.asarray(costs), np.asarray(settled)
+
+    def evaluate_final_tricp(self, choices: np.ndarray, active: np.ndarray,
+                             seg_pts, seg_mask):
+        """Final settle + TrICP refinement in ONE dispatch (FULL hulls).
+
+        choices/active: [K]; seg_pts [K, N, 3] / seg_mask [K, N] are the
+        per-object camera-frame 3D segments (segmentation.Segment3D fields).
+        Returns (costs [3], settled [3, K, 4, 4]) - rows raw / tricp->settle
+        / settle->tricp; the caller installs the argmin (see
+        _tricp_final_core).
+        """
+        costs, settled = _tricp_final_jit(
+            self.consts_full, self.cam_pose, self.render_nrm,
+            jnp.asarray(seg_pts), jnp.asarray(seg_mask),
+            self.cfg, self.h, self.w, self.splat_radius,
+            jnp.asarray(choices), jnp.asarray(active),
         )
         return np.asarray(costs), np.asarray(settled)
 
@@ -660,6 +818,17 @@ class MultiSceneLeafEvaluator:
             )
         else:
             self.consts_full = self.consts
+        # Final-pass TrICP inputs (outside `consts` so the per-leaf batch
+        # programs don't transfer them every dispatch): stacked camera poses
+        # and model normals aligned with consts["render_pts"].
+        self.cam_pose_stacked = jnp.asarray(
+            np.stack([np.asarray(ev.cam_pose) for ev in evaluators])
+        )
+        self.render_nrm_stacked = jnp.asarray(
+            np.stack([
+                pad_to(ev.render_nrm, (k_max, n_max, 3)) for ev in evaluators
+            ])
+        )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -722,6 +891,23 @@ class MultiSceneLeafEvaluator:
             jnp.asarray(scene_idx), jnp.asarray(choices), jnp.asarray(active),
         )
         return np.asarray(costs)[:n_real], np.asarray(settled)[:n_real]
+
+    def evaluate_final_tricp(self, choices: np.ndarray, active: np.ndarray,
+                             seg_pts, seg_mask):
+        """Final settles + TrICP refinement of ALL scenes in one dispatch.
+
+        choices/active: [S, k_max]; seg_pts [S, k_max, N, 3] /
+        seg_mask [S, k_max, N] padded per scene. Returns
+        (costs [S, 3], settled [S, 3, k_max, 4, 4]) - see _tricp_final_core
+        for the three candidate rows.
+        """
+        costs, settled = _tricp_final_multi_jit(
+            self.consts_full, self.cam_pose_stacked, self.render_nrm_stacked,
+            jnp.asarray(seg_pts), jnp.asarray(seg_mask),
+            self.cfg, self.h, self.w, self.splat_radius,
+            jnp.asarray(choices), jnp.asarray(active),
+        )
+        return np.asarray(costs), np.asarray(settled)
 
 
 def uct_search_multi(
@@ -856,10 +1042,28 @@ def _scene_search_inputs(estimates, sc, db, cfg):
                 hull_mask=obj.hull_mask,
                 hull_eqs=obj.hull_eqs,
                 render_pts=obj.validation_pts,
+                render_nrm=obj.validation_nrm,
                 render_mask=np.ones(len(obj.validation_pts), bool),
             )
         )
     return hyp_world, hyp_scores, obj_hulls
+
+
+def _segs_to_arrays(segs, k: int):
+    """Normalize segments to ([k, N, 3], [k, N]) numpy - accepts a list of
+    per-object Segment3D or one stacked Segment3D with a leading object
+    axis; pads/truncates the object axis to k (padded rows: empty masks)."""
+    if hasattr(segs, "pts"):  # stacked Segment3D
+        pts = np.asarray(segs.pts, np.float32)
+        mask = np.asarray(segs.mask)
+    else:
+        pts = np.stack([np.asarray(s.pts) for s in segs]).astype(np.float32)
+        mask = np.stack([np.asarray(s.mask) for s in segs])
+    n_obj, n = pts.shape[:2]
+    if n_obj < k:
+        pts = np.concatenate([pts, np.zeros((k - n_obj, n, 3), np.float32)])
+        mask = np.concatenate([mask, np.zeros((k - n_obj, n), bool)])
+    return pts[:k], mask[:k]
 
 
 def _install_assignment(estimates, assign, settled_row, cam):
@@ -890,9 +1094,15 @@ def _install_assignment(estimates, assign, settled_row, cam):
 
 
 def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
-                snapshot_path=None, search="uct"):
+                snapshot_path=None, search="uct", segs=None):
     """MCTSSelection::selectBestPoses analogue: refine per-object pose choice
-    by physics-aware search; installs the best state's poses + settled poses."""
+    by physics-aware search; installs the best state's poses + settled poses.
+
+    segs: optional per-object 3D segments aligned with `estimates` (list of
+    Segment3D or one stacked Segment3D). When given and cfg.mcts.tricp_final
+    is on, the final pass adds the revived UCTState::performTrICP refinement
+    (see _tricp_final_core) in the same single dispatch as the final settle.
+    """
     k = len(estimates)
     if k == 0:
         return estimates
@@ -919,14 +1129,24 @@ def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
         save_search_snapshot(snapshot_path, sc.scene_dir, assign, best_cost, seed)
 
     # Final pass: settle the chosen assignment with the FULL hulls and read
-    # back poses (the search may have used decimated contact hulls).
-    choices = assign[None, :]
-    active = np.ones((1, k), bool)
-    _, settled = evaluator.evaluate_final(choices, active)
-    return _install_assignment(estimates, assign, settled[0], sc.cam_pose)
+    # back poses (the search may have used decimated contact hulls). With
+    # segments available, the same dispatch also runs the TrICP refinement
+    # and installs the min-cost of {raw, tricp->settle, settle->tricp}.
+    if cfg.mcts.tricp_final and segs is not None:
+        seg_pts, seg_mask = _segs_to_arrays(segs, k)
+        costs3, settled3 = evaluator.evaluate_final_tricp(
+            assign, np.ones(k, bool), seg_pts, seg_mask
+        )
+        settled_row = settled3[int(np.argmin(costs3))]
+    else:
+        choices = assign[None, :]
+        active = np.ones((1, k), bool)
+        _, settled = evaluator.evaluate_final(choices, active)
+        settled_row = settled[0]
+    return _install_assignment(estimates, assign, settled_row, sc.cam_pose)
 
 
-def mcts_select_multi(scene_rows, db, cfg, seed=0, mesh=None):
+def mcts_select_multi(scene_rows, db, cfg, seed=0, mesh=None, segs_list=None):
     """Physics-aware MCTS selection for MANY scenes in shared device batches.
 
     scene_rows: list of (estimates, sc, table_pose, depth_clean) tuples, one
@@ -934,6 +1154,10 @@ def mcts_select_multi(scene_rows, db, cfg, seed=0, mesh=None):
     concurrently through one MultiSceneLeafEvaluator - pending leaves from
     every still-running tree share each device dispatch, and the final
     chosen-assignment settles of all scenes run as one batch.
+
+    segs_list: optional per-scene segments aligned with scene_rows (each a
+    stacked Segment3D or per-object list); enables the final-pass TrICP
+    refinement (cfg.mcts.tricp_final) for every scene in the same dispatch.
 
     mesh: optional jax.sharding.Mesh - shards every leaf-eval batch's row
     axis over all mesh devices (see MultiSceneLeafEvaluator); the host trees
@@ -964,7 +1188,8 @@ def mcts_select_multi(scene_rows, db, cfg, seed=0, mesh=None):
     results = uct_search_multi(msev, hyp_scores_list, cfg, seed=seed)
 
     # Final pass: settle every scene's chosen assignment in one dispatch,
-    # with the FULL hulls (the search may have used decimated ones).
+    # with the FULL hulls (the search may have used decimated ones); with
+    # segments, the same dispatch adds the TrICP refinement per scene.
     s = len(live)
     scene_idx = np.arange(s)
     choices = np.full((s, msev.k_max), -1, np.int64)
@@ -972,7 +1197,19 @@ def mcts_select_multi(scene_rows, db, cfg, seed=0, mesh=None):
     for si, (assign, _cost) in enumerate(results):
         choices[si, : len(assign)] = assign
         active[si, : len(assign)] = True
-    _, settled = msev.evaluate_final(scene_idx, choices, active)
+
+    if cfg.mcts.tricp_final and segs_list is not None:
+        seg_rows = [_segs_to_arrays(segs_list[orig_i], msev.k_max)
+                    for orig_i, _row in live]
+        seg_pts = np.stack([r[0] for r in seg_rows])
+        seg_mask = np.stack([r[1] for r in seg_rows])
+        costs3, settled3 = msev.evaluate_final_tricp(
+            choices, active, seg_pts, seg_mask
+        )
+        best_path = np.argmin(costs3, axis=1)  # [S]
+        settled = settled3[np.arange(s), best_path]
+    else:
+        _, settled = msev.evaluate_final(scene_idx, choices, active)
 
     for si, (orig_i, (estimates, sc, _tp, _dc)) in enumerate(live):
         assign, _cost = results[si]

@@ -34,7 +34,54 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def make_handler(db, default_cfg, max_queue: int = 4):
+def warmup(db, cfg, verification_mode: str = "LCP") -> float:
+    """Compile the serving path at BOOT instead of on the first request.
+
+    Runs one estimate_pose on a synthetic in-memory scene with the
+    production static shapes (resolution/segment/model sizes are the only
+    compile keys - pixel content is irrelevant), so every jit in the request
+    path is built (or loaded from the persistent compile cache, see
+    JAX_COMPILATION_CACHE_DIR in serve()) before the server accepts traffic.
+    The reference's ROS node pays its Caffe/GL warmup on the first service
+    call instead (predict:59, main.cpp:210-212); measured here a cold axon
+    TPU boot was 543 s of first-request latency (SERVER_LOADTEST.json r4) -
+    unacceptable to serve. Returns the warmup wall seconds.
+    """
+    import time
+
+    import numpy as np
+
+    from physimglobalpose_tpu.pipeline import api, scene as scene_mod
+
+    t0 = time.monotonic()
+    h, w = cfg.render.height, cfg.render.width
+    intr = np.array(
+        [[600.0, 0, w / 2.0], [0, 600.0, h / 2.0], [0, 0, 1.0]], np.float32
+    )
+    depth = np.full((h, w), 0.8, np.float32)  # the table plane
+    class_mask = np.zeros((h, w), np.int32)
+    names = db.names[: min(3, len(db.names))]
+    for i, n in enumerate(names):
+        y0, x0 = h // 4 + (h // 8) * i, w // 6 + (w // 5) * i
+        depth[y0 : y0 + 80, x0 : x0 + 80] = 0.68  # a 12 cm-proud blob
+        class_mask[y0 : y0 + 80, x0 : x0 + 80] = db.class_of(n)
+    sc = scene_mod.scene_from_arrays(
+        color=np.zeros((h, w, 3), np.uint8),
+        depth=depth,
+        intrinsics=intr,
+        cam_pose=np.eye(4, dtype=np.float32),
+        object_names=list(names),
+        class_mask=class_mask,
+    )
+    api.estimate_pose(
+        "<warmup>", db, segmentation_mode="GT",
+        verification_mode=verification_mode, cfg=cfg, scene=sc,
+        write_result=False,
+    )
+    return time.monotonic() - t0
+
+
+def make_handler(db, default_cfg, max_queue: int = 4, warm_s: float = 0.0):
     import time
 
     from physimglobalpose_tpu.pipeline import api
@@ -61,6 +108,7 @@ def make_handler(db, default_cfg, max_queue: int = 4):
                 self._reply(200, {
                     "ok": True, "objects": db.names,
                     "queue_depth": depth, "ema_latency_s": round(ema, 3),
+                    "warmup_s": round(warm_s, 2),
                 })
             else:
                 self._reply(404, {"error": "unknown path"})
@@ -137,14 +185,27 @@ def make_handler(db, default_cfg, max_queue: int = 4):
 
 
 def serve(db, cfg, port: int = 8080, host: str = "127.0.0.1",
-          max_queue: int = 4):
+          max_queue: int = 4, warm: bool = False,
+          compile_cache_dir: str | None = "/tmp/jax_cache"):
     """Start the service (blocking). Returns the server for programmatic use.
 
     max_queue: waiters allowed behind the in-flight request before the
-    server sheds load with 503 + Retry-After (see module docstring)."""
+    server sheds load with 503 + Retry-After (see module docstring).
+
+    warm: compile the request path at boot (see warmup()) so the first
+    client never pays it. compile_cache_dir: persistent XLA compile cache -
+    ALWAYS set one in production; a re-boot then warms from disk instead of
+    recompiling (measured: a cold axon TPU boot compiles ~9 minutes,
+    SERVER_LOADTEST.json warm_compile_s vs warm_compile_s_second_boot)."""
+    if compile_cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", compile_cache_dir)
+    warm_s = warmup(db, cfg) if warm else 0.0
     server = ThreadingHTTPServer(
-        (host, port), make_handler(db, cfg, max_queue=max_queue)
+        (host, port), make_handler(db, cfg, max_queue=max_queue, warm_s=warm_s)
     )
+    server.warmup_s = warm_s
     return server
 
 
@@ -159,6 +220,12 @@ def main(argv=None):
     p.add_argument("--max-queue", type=int, default=4,
                    help="waiters allowed behind the in-flight request before "
                         "503 + Retry-After load shedding")
+    p.add_argument("--no-warm", action="store_true",
+                   help="skip the boot-time warmup compile pass (first "
+                        "request then pays it)")
+    p.add_argument("--compile-cache-dir", default="/tmp/jax_cache",
+                   help="persistent XLA compile cache; a server re-boot "
+                        "warms from disk instead of recompiling ('' disables)")
     p.add_argument("--preset", default="default", choices=["default", "small"])
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
@@ -187,7 +254,10 @@ def main(argv=None):
         cache_dir=args.cache_dir, only=args.objects,
     )
     server = serve(db, cfg, port=args.port, host=args.host,
-                   max_queue=args.max_queue)
+                   max_queue=args.max_queue, warm=not args.no_warm,
+                   compile_cache_dir=args.compile_cache_dir or None)
+    if not args.no_warm:
+        print(f"warmup compile pass: {server.warmup_s:.1f} s")
     print(f"pose_estimation service on http://{args.host}:{args.port}")
     server.serve_forever()
 

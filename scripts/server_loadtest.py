@@ -32,6 +32,64 @@ OBJ_CFG = (
 )
 
 
+def _warm_boot(args) -> int:
+    """One fresh-process server boot with warmup: prints {"warmup_s": X}.
+
+    Launched as a subprocess by --measure-boots (each boot must be a fresh
+    process - the in-memory jit cache would make a same-process second boot
+    trivially warm and prove nothing about the persistent compile cache)."""
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from physimglobalpose_tpu.models import objectdb
+    from physimglobalpose_tpu.pipeline import server as server_mod
+    from tests.test_e2e_scene import SMALL_CFG
+
+    db = objectdb.load_object_db(
+        OBJ_CFG, MODELS, config=SMALL_CFG, cache_dir="/tmp/ppf_cache",
+        only=["kleenex_tissue_box", "expo_dry_erase_board_eraser",
+              "folgers_classic_roast_coffee"],
+    )
+    srv = server_mod.serve(db, SMALL_CFG, port=0, warm=True,
+                           compile_cache_dir=args.compile_cache_dir)
+    print(json.dumps({"warmup_s": round(srv.warmup_s, 2)}))
+    return 0
+
+
+def _measure_boots(args) -> dict:
+    """Two sequential fresh-process warm boots against the same persistent
+    compile cache (VERDICT r4 Weak #7): boot 1 compiles (and populates the
+    cache), boot 2 must warm from disk - the server cold-start mitigation.
+    Sequential subprocesses: one jax process at a time."""
+    import subprocess
+
+    out = {}
+    for i in (1, 2):
+        t0 = time.monotonic()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", "warm-boot",
+             "--platform", args.platform,
+             "--compile-cache-dir", args.compile_cache_dir],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"warm boot {i} failed: {proc.stdout[-500:]} {proc.stderr[-500:]}"
+            )
+        warm = json.loads(proc.stdout.strip().splitlines()[-1])["warmup_s"]
+        out[f"boot{i}"] = {
+            "warmup_s": warm,
+            "process_wall_s": round(time.monotonic() - t0, 2),
+        }
+        print(f"boot {i}: warmup {warm:.1f} s", flush=True)
+    out["speedup"] = round(
+        out["boot1"]["warmup_s"] / max(out["boot2"]["warmup_s"], 1e-6), 1
+    )
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--clients", type=int, default=4)
@@ -39,10 +97,37 @@ def main(argv=None):
                     help="total successful requests to collect")
     ap.add_argument("--max-queue", type=int, default=1)
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--phase", default="loadtest",
+                    choices=["loadtest", "warm-boot", "measure-boots"],
+                    help="warm-boot: one fresh-process boot+warmup (internal);"
+                         " measure-boots: two sequential fresh boots against "
+                         "the persistent compile cache, merged into the "
+                         "artifact as warm_boot_1/2")
+    ap.add_argument("--compile-cache-dir", default="/tmp/jax_cache")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SERVER_LOADTEST.json"))
     args = ap.parse_args(argv)
+
+    if args.phase == "warm-boot":
+        return _warm_boot(args)
+    if args.phase == "measure-boots":
+        boots = _measure_boots(args)
+        merged = {}
+        if os.path.exists(args.out):
+            with open(args.out) as fh:
+                merged = json.load(fh)
+        sect = merged.setdefault(args.platform, {})
+        sect["warm_boots"] = dict(
+            boots,
+            note="two fresh-process server boots, same persistent compile "
+                 "cache (pipeline/server.serve compile_cache_dir + boot "
+                 "warmup pass); boot 2 warms from disk",
+        )
+        with open(args.out, "w") as fh:
+            json.dump(merged, fh, indent=1)
+        print(json.dumps(sect["warm_boots"], indent=1))
+        return 0
 
     import jax
 

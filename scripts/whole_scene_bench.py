@@ -319,11 +319,17 @@ def main():
         gt_mask = np.asarray(Image.open(os.path.join(SCENE, "frame-000000.mask.png")))
         scene_classes = sorted(int(c) for c in np.unique(gt_mask) if c != 0)
         real = {"classes": scene_classes}
-        miou_rows = [("small", "small", (1.0,)), ("full", "full", (1.0,))]
+        shipped = {
+            v: os.path.exists(fcn_mod.shipped_checkpoint_path(v))
+            for v in ("small", "full", "transfer", "prior")
+        }
+        miou_rows = [("small", "small", (1.0,))]
+        if shipped["full"]:
+            miou_rows.append(("full", "full", (1.0,)))
         for extra in ("transfer", "prior"):
-            if os.path.exists(fcn_mod.shipped_checkpoint_path(extra)):
+            if shipped[extra]:
                 miou_rows.append((extra, extra, (1.0,)))
-        if os.path.exists(fcn_mod.shipped_checkpoint_path("prior")):
+        if shipped["prior"]:
             # The production --fcn-tta configuration (fcn.make_predictor
             # tta_scales; probe grid in scripts/r4_fcn_tta_probe.py).
             miou_rows.append(("prior_tta", "prior", (0.5, 0.75, 1.0)))
