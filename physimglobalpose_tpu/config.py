@@ -248,6 +248,28 @@ class MCTSConfig:
     # cap just bounds the basin so a fully-wrong pose cannot latch onto a
     # neighbor - generous vs the <=2.4 cm misses it exists to fix.
     tricp_max_corr_dist: float = 0.06
+    # Final render-cost polish (beyond-reference, opt-in): after the TrICP
+    # candidate vote, descend the PIXEL cost itself - batched
+    # random-perturbation rounds around the chosen final state, keep the
+    # best row, shrink sigma. Ships DISABLED (0): on the hard family it
+    # descends reliably in cost but the cost minimum is not GT inside the
+    # sensor-noise floor - measured (HARD_MISS_ANALYSIS.json) the >2 cm
+    # misses are occlusion-unobservable (GT-substituted poses cost the SAME
+    # or MORE than the reported ones even at full render resolution), so the
+    # polish trades mm-level noise (hard MCTS mean ADD-S 7.05 -> 7.42 mm).
+    # It remains the right tool when the cost DOES discriminate (e.g. a
+    # custom scorer or fused multi-view observations).
+    final_polish_rounds: int = 0
+    final_polish_batch: int = 192
+    final_polish_sigma_t: float = 0.01  # meters, halves per round
+    final_polish_sigma_r_deg: float = 4.0  # degrees, halves per round
+    # Polish render scale (1 = full resolution, where the measured
+    # cost-visible miss margins live - 7-22 px at scale 1 vs 0-12 at the
+    # search's scale 4); per_object concentrates each round's samples on one
+    # object at a time (K x the dispatches, far better sample efficiency
+    # for single-object misses).
+    final_polish_scale: int = 1
+    final_polish_per_object: bool = True
     # Hard cap on expansions. Deviation from the reference's sum_i 25^i
     # stopping criterion (UCTSearch.cpp:290-294), which for k>=3 objects is
     # never the binding constraint anyway: its 60 s wall clock cuts first,

@@ -260,6 +260,105 @@ def _tricp_refine_cam(poses_c, model_pts, model_nrm, model_mask, seg_pts,
     return jnp.stack(out)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "h", "w", "radius"))
+def _poses_cost_jit(consts, cfg, h, w, radius, poses_w, active):
+    """Render costs of B explicit pose sets (no settle): [B, K, 4, 4] -> [B]."""
+    return jax.vmap(
+        lambda p: _render_cost_of_poses(consts, cfg, h, w, radius, p, active)
+    )(poses_w)
+
+
+def _perturb_poses(rng, poses_w, sig_t, sig_r, batch, only_obj=None):
+    """[K,4,4] -> [B,K,4,4]: row 0 = unperturbed; rows 1.. rotate about each
+    object's own origin and translate in world (host numpy Rodrigues).
+    only_obj: perturb just that object index (others stay fixed)."""
+    k = poses_w.shape[0]
+    out = np.tile(poses_w[None], (batch, 1, 1, 1)).astype(np.float64)
+    w_axis = rng.normal(0.0, sig_r, (batch - 1, k, 3))
+    dt = rng.normal(0.0, sig_t, (batch - 1, k, 3))
+    if only_obj is not None:
+        keep = np.zeros((1, k, 1))
+        keep[0, only_obj, 0] = 1.0
+        w_axis = w_axis * keep
+        dt = dt * keep
+    theta = np.linalg.norm(w_axis, axis=-1, keepdims=True)
+    ax = w_axis / np.maximum(theta, 1e-12)
+    ct = np.cos(theta)[..., None]
+    st = np.sin(theta)[..., None]
+    x, y, z = ax[..., 0], ax[..., 1], ax[..., 2]
+    zeros = np.zeros_like(x)
+    kx = np.stack([
+        np.stack([zeros, -z, y], -1),
+        np.stack([z, zeros, -x], -1),
+        np.stack([-y, x, zeros], -1),
+    ], -2)  # [B-1, K, 3, 3]
+    eye = np.eye(3)[None, None]
+    dr = eye + st * kx + (1.0 - ct) * (kx @ kx)
+    out[1:, :, :3, :3] = out[1:, :, :3, :3] @ dr
+    out[1:, :, :3, 3] += dt
+    return out
+
+
+def _final_polish(evaluator, poses_w, active, cfg, seed=0):
+    """Stochastic descent on the render cost around the final state.
+
+    Each round: batched no-settle cost dispatches over perturbations of the
+    CURRENT best (row 0 keeps it, so the result is monotone in cost); sigma
+    halves per round. final_polish_per_object perturbs one object per
+    dispatch (sample efficiency for single-object misses - the measured
+    cost-visible margins are 7-22 px for ONE object's 2 cm). The evaluator
+    should be built at cfg.mcts.final_polish_scale (full resolution: the
+    scale-4 search cost quantizes those margins away). Returns
+    (poses [K,4,4], cost)."""
+    mc = cfg.mcts
+    rng = np.random.default_rng(seed)
+    best = np.asarray(poses_w, np.float64)
+    best_cost = np.inf
+    k = best.shape[0]
+    active = np.asarray(active)
+    obj_rounds = (
+        [i for i in range(k) if active[i]]
+        if mc.final_polish_per_object else [None]
+    )
+    sig_t, sig_r = mc.final_polish_sigma_t, math.radians(mc.final_polish_sigma_r_deg)
+    for _ in range(mc.final_polish_rounds):
+        for oi in obj_rounds:
+            batch = _perturb_poses(
+                rng, best, sig_t, sig_r, mc.final_polish_batch, only_obj=oi
+            )
+            costs = np.asarray(
+                _poses_cost_jit(
+                    evaluator.consts_full, evaluator.cfg, evaluator.h,
+                    evaluator.w, evaluator.splat_radius,
+                    jnp.asarray(batch.astype(np.float32)), jnp.asarray(active),
+                )
+            )
+            i = int(np.argmin(costs))
+            if costs[i] <= best_cost:
+                best, best_cost = batch[i], float(costs[i])
+        sig_t *= 0.5
+        sig_r *= 0.5
+    return best.astype(np.float32), best_cost
+
+
+_TRICP_ORDER = (1, 2, 0)  # tie preference: tricp->settle, settle->tricp, raw
+
+
+def _tricp_pick(costs3) -> int:
+    """Select the installed final state: min render cost, ties broken FOR the
+    refined candidates (_TRICP_ORDER).
+
+    Heavily occluded objects contribute only a handful of pixels at the
+    search render scale, so the three candidates often TIE on the integer
+    pixel cost - and a raw-first argmin would discard a refinement the cost
+    simply cannot see (measured on the hard family: the 3 MCTS misses all
+    tie). The reference applies TrICP unconditionally (Search.cpp:45); the
+    cost vote here exists only to veto REGRESSIONS, so ties go to TrICP.
+    """
+    costs3 = np.asarray(costs3)
+    return int(min(_TRICP_ORDER, key=lambda i: (costs3[i], _TRICP_ORDER.index(i))))
+
+
 def _tricp_final_core(consts, cam_pose, model_nrm, seg_pts, seg_mask,
                       cfg, h, w, radius, choices, active):
     """Final-state evaluation with TrICP refinement, ONE scene.
@@ -1137,7 +1236,18 @@ def mcts_select(estimates, sc, db, table_pose, depth_clean, cfg, seed=0,
         costs3, settled3 = evaluator.evaluate_final_tricp(
             assign, np.ones(k, bool), seg_pts, seg_mask
         )
-        settled_row = settled3[int(np.argmin(costs3))]
+        settled_row = settled3[_tricp_pick(costs3)]
+        if cfg.mcts.final_polish_rounds > 0:
+            pev = evaluator
+            if cfg.mcts.final_polish_scale != cfg.mcts.render_scale:
+                pev = BatchedLeafEvaluator(
+                    obj_hulls, hyp_world, np.asarray(depth_clean),
+                    sc.intrinsics, sc.cam_pose, table_pose, cfg,
+                    render_scale=cfg.mcts.final_polish_scale,
+                )
+            settled_row, _c = _final_polish(
+                pev, settled_row, np.ones(k, bool), cfg, seed=seed
+            )
     else:
         choices = assign[None, :]
         active = np.ones((1, k), bool)
@@ -1206,8 +1316,31 @@ def mcts_select_multi(scene_rows, db, cfg, seed=0, mesh=None, segs_list=None):
         costs3, settled3 = msev.evaluate_final_tricp(
             choices, active, seg_pts, seg_mask
         )
-        best_path = np.argmin(costs3, axis=1)  # [S]
+        best_path = np.asarray([_tricp_pick(costs3[si]) for si in range(s)])
         settled = settled3[np.arange(s), best_path]
+        if cfg.mcts.final_polish_rounds > 0:
+            # Per-scene polish through each scene's own evaluator at the
+            # polish render scale (k_max padding rows stay untouched -
+            # active only covers real objects).
+            settled = settled.copy()
+            for si in range(s):
+                k_s = evaluators[si].k
+                pev = evaluators[si]
+                if cfg.mcts.final_polish_scale != cfg.mcts.render_scale:
+                    orig_i, (estimates, sc_i, table_pose_i, depth_clean_i) = live[si]
+                    hw_i, _hs, hulls_i = _scene_search_inputs(
+                        estimates, sc_i, db, cfg
+                    )
+                    pev = BatchedLeafEvaluator(
+                        hulls_i, hw_i, np.asarray(depth_clean_i),
+                        sc_i.intrinsics, sc_i.cam_pose, table_pose_i, cfg,
+                        render_scale=cfg.mcts.final_polish_scale,
+                    )
+                polished, _c = _final_polish(
+                    pev, settled[si, :k_s], np.ones(k_s, bool), cfg,
+                    seed=seed + si,
+                )
+                settled[si, :k_s] = polished
     else:
         _, settled = msev.evaluate_final(scene_idx, choices, active)
 

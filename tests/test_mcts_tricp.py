@@ -56,7 +56,7 @@ def test_tricp_final_recovers_perturbed_pose(setup):  # noqa: F811
     assert costs3.shape == (3,) and settled3.shape == (3, 1, 4, 4)
     # Raw path (row 0) keeps the perturbation; the winner fixes it.
     raw_err = np.linalg.norm(settled3[0, 0][:3, 3] - true_pose[:3, 3])
-    best = int(np.argmin(costs3))
+    best = mcts._tricp_pick(costs3)  # the product's selection rule
     ref_err = np.linalg.norm(settled3[best, 0][:3, 3] - true_pose[:3, 3])
     assert best != 0, f"TrICP never won: costs {costs3}"
     assert ref_err < raw_err
@@ -128,6 +128,34 @@ def test_tricp_degenerate_segment_passes_through(setup):  # noqa: F811
     )
     np.testing.assert_allclose(settled3[1], settled3[0], atol=1e-5)
     np.testing.assert_allclose(settled3[2], settled3[0], atol=1e-5)
+
+
+def test_final_polish_descends_render_cost(setup):  # noqa: F811
+    # The pixel-cost polish must pull a 1.5 cm-off pose toward the observed
+    # depth WITHOUT any segment input (it descends the render cost itself -
+    # the lever for occluded fragments where ICP stalls, ROUND5_NOTES).
+    cfg, obj, obs, true_pose, table_pose, cam_pose = setup
+    perturbed = (_rot_z(6.0) @ true_pose).astype(np.float32)
+    perturbed[:3, 3] = true_pose[:3, 3] + [0.012, -0.008, 0.0]
+    hyps = np.stack([perturbed, perturbed])[None]
+    ev = mcts.BatchedLeafEvaluator(
+        [obj], hyps, obs, K_INTR, cam_pose, table_pose, cfg, render_scale=1
+    )
+    import dataclasses
+
+    cfg = dataclasses.replace(  # polish ships opt-in; enable for the test
+        cfg, mcts=dataclasses.replace(cfg.mcts, final_polish_rounds=3)
+    )
+    start = perturbed[None]  # [K=1, 4, 4] world == camera here
+    polished, cost = mcts._final_polish(ev, start, np.ones(1, bool), cfg, seed=0)
+    start_cost = float(np.asarray(mcts._poses_cost_jit(
+        ev.consts_full, cfg, ev.h, ev.w, ev.splat_radius,
+        jnp.asarray(start[None]), jnp.ones(1, bool))))
+    assert cost <= start_cost
+    err0 = np.linalg.norm(start[0][:3, 3] - true_pose[:3, 3])
+    err1 = np.linalg.norm(polished[0][:3, 3] - true_pose[:3, 3])
+    assert err1 < err0, f"polish moved away: {err0:.4f} -> {err1:.4f}"
+    assert err1 < 0.008, f"polished translation error {err1:.4f} m"
 
 
 def test_tricp_multi_matches_single(setup):  # noqa: F811
