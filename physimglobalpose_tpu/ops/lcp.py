@@ -230,12 +230,44 @@ def _score_one(a_pos, segcat_ref, ns_tile, delta, cos_gate, weighted, big, nv, s
 
 # Mosaic's dot lowering supports only DEFAULT and HIGHEST ("high" raises
 # NotImplementedError on v5e - measured round 3); None inherits the jax
-# default (float32, _jaxcfg.py).
+# default (float32, _jaxcfg.py). "high3" is this module's own 3-pass
+# bf16 hi/lo split (see _dot_high3) - the missing middle tier, implemented
+# manually because Mosaic won't lower Precision.HIGH.
 _PRECISIONS = {
     None: None,
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
+    "high3": "high3",
 }
+
+
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= x (error ~2^-16 relative)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_high3(a, b):
+    """3-pass bf16 emulation of an f32 matmul on the MXU.
+
+    a @ b = a_hi@b_hi + a_hi@b_lo + a_lo@b_hi (+ a_lo@b_lo, dropped: its
+    magnitude is ~2^-32 relative). Equivalent to XLA's Precision.HIGH, which
+    Mosaic cannot lower; vs HIGHEST (6 passes) this is ~2x the MXU rate at
+    ~1e-7 absolute error on centered-coordinate d^2 - 100x under the
+    delta^2 = 2.5e-5 match threshold, i.e. fp32-grade for LCP purposes
+    (gated on-chip by tests/test_tpu_bf16.py at the production flags).
+    """
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    dims = (((1,), (0,)), ((), ()))
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    return (
+        jax.lax.dot_general(a_hi, b_hi, dims, **kw)
+        + jax.lax.dot_general(a_hi, b_lo, dims, **kw)
+        + jax.lax.dot_general(a_lo, b_hi, dims, **kw)
+    )
 
 
 @functools.partial(
@@ -315,7 +347,12 @@ def lcp_scores_pallas(
             cos_gate=math.cos(math.radians(normal_gate_deg)),
             weighted=weighted,
             total_nv=nv,
-            precision=_PRECISIONS[matmul_precision],
+            # No high3 path in the streaming kernel; degrade to the
+            # strictly-more-precise HIGHEST (only the exact tier requests
+            # high3, and its segments fit the segside kernel).
+            precision=(jax.lax.Precision.HIGHEST
+                       if matmul_precision == "high3"
+                       else _PRECISIONS[matmul_precision]),
         ),
         out_shape=jax.ShapeDtypeStruct((h + pad_h, 128), jnp.float32),
         grid=((h + pad_h) // h_tile, (nv + pad_nv) // nv_tile),
@@ -418,9 +455,31 @@ def _lcp_kernel_segside(
     nv_tile = modelT_ref.shape[1]
     j = pl.program_id(1)
     lowp = precision == jax.lax.Precision.DEFAULT
+    high3 = precision == "high3"
     mm_dtype = jnp.bfloat16 if lowp else jnp.float32
 
     a_seg = segcat_ref[:, :].astype(mm_dtype)  # [Ns, 128], cast hoisted
+    if high3:
+        # 3-pass bf16 split (see _dot_high3); the segment operand's split is
+        # hoisted out of the per-hypothesis loop.
+        a_hi, a_lo = _split_bf16(a_seg)
+
+    def mm(b):
+        if high3:
+            b_hi, b_lo = _split_bf16(b)
+            dims = (((1,), (0,)), ((), ()))
+            kw = dict(preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+            return (
+                jax.lax.dot_general(a_hi, b_hi, dims, **kw)
+                + jax.lax.dot_general(a_hi, b_lo, dims, **kw)
+                + jax.lax.dot_general(a_lo, b_hi, dims, **kw)
+            )
+        return jax.lax.dot_general(
+            a_seg, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
     prob_col = segcat_ref[:, 8:9]  # [Ns, 1]
 
     mx = modelT_ref[0:1, :]  # [1, nv]
@@ -454,10 +513,7 @@ def _lcp_kernel_segside(
              (-2.0 * uz).astype(mm_dtype), ones_row, usq.astype(mm_dtype),
              zrow123], axis=0,
         )  # [128, nv]
-        d2 = jax.lax.dot_general(
-            a_seg, b1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [Ns, nv]
+        d2 = mm(b1)  # [Ns, nv]
 
         m = jnp.min(d2, axis=0, keepdims=True)  # [1, nv]
         within_f = (m <= delta * delta).astype(jnp.float32)
@@ -465,10 +521,7 @@ def _lcp_kernel_segside(
             b2 = jnp.concatenate(
                 [zrow5, unx.astype(mm_dtype), uny.astype(mm_dtype),
                  unz.astype(mm_dtype), zrow120], axis=0)
-            ndot = jax.lax.dot_general(
-                a_seg, b2, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+            ndot = mm(b2)
             is_best = (d2 <= m).astype(jnp.float32)
             prob_best = jnp.max(prob_col * is_best, axis=0, keepdims=True)
             dot_best = jnp.max(
@@ -669,7 +722,12 @@ def lcp_scores_pallas_segside(
                 cos_gate=math.cos(math.radians(normal_gate_deg)),
                 weighted=weighted,
                 total_nv=nv,
-                precision=_PRECISIONS[matmul_precision],
+                # The HB kernel has no high3 path (only the exact tier uses
+                # high3, and its nv=4096 never hyp-batches); degrade to the
+                # strictly-more-precise HIGHEST if it ever lands here.
+                precision=(jax.lax.Precision.HIGHEST
+                           if matmul_precision == "high3"
+                           else _PRECISIONS[matmul_precision]),
             ),
             out_shape=jax.ShapeDtypeStruct((h + pad_h, 128), jnp.float32),
             grid=((h + pad_h) // h_tile,),

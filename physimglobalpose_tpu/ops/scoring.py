@@ -83,6 +83,12 @@ def score_refine_pipeline(
     # IS the final score and striding it would silently change results, so
     # we raise instead.
     fine_seg_stride: int = 1,
+    # Matmul precision for the exact rescore tier. None = true f32 (HIGHEST:
+    # 6-pass bf16 emulation on the MXU); "high3" = the 3-pass hi/lo split
+    # (ops/lcp._dot_high3, ~2x the MXU rate, ~1e-7 d^2 error vs the 2.5e-5
+    # match threshold - fp32-grade for LCP; gated on-chip at the production
+    # flags by tests/test_tpu_bf16.py).
+    exact_precision: str | None = None,
     # Select the coarse top-k with jax.lax.approx_max_k (TPU PartialReduce;
     # much cheaper than the exact sort over H=16384) instead of lax.top_k.
     # The coarse gate is already approximate by design (bf16, strided,
@@ -189,6 +195,7 @@ def score_refine_pipeline(
             seg_pts, seg_nrm, seg_prob, seg_mask,
             delta=delta, normal_gate_deg=normal_gate_deg,
             weighted=True, use_pallas=use_pallas,
+            matmul_precision=exact_precision,
         )
         fine = fine.at[idx_e].set(exact)
     order = jnp.argsort(-fine)

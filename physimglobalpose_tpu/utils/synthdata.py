@@ -95,7 +95,27 @@ def render_scene(
     any_obj = np.isfinite(front)
     label = np.where(any_obj, np.asarray(labels)[owner], 0).astype(np.int32)
 
-    # Color: per-class palette shaded by depth, plus noise; noisy background.
+    depth = np.where(any_obj, front, table_depth).astype(np.float32)
+    color = colorize_from_label_depth(label, depth, rng, domain_random)
+    return color, label, poses, depth
+
+
+def colorize_from_label_depth(
+    label: np.ndarray,  # [h, w] class ids, 0 = background
+    depth: np.ndarray,  # [h, w] camera-frame depth (shading cue)
+    rng: np.random.Generator,
+    domain_random: bool = False,
+) -> np.ndarray:
+    """Per-class palette + depth shading + noise from a (label, depth) pair.
+
+    The color model of render_scene, factored out so any generator that
+    composes its own label/depth (scripts/make_synthetic_scenes.py - the
+    eval-scene generator) produces REAL color frames in the same appearance
+    distribution the shipped FCN/detector checkpoints are trained on,
+    instead of black placeholders. Returns uint8 [h, w, 3].
+    """
+    h, w = label.shape
+    any_obj = label > 0
     color = np.empty((h, w, 3), np.float32)
     if domain_random:
         # Low-frequency textured background: upsampled coarse noise grid.
@@ -106,7 +126,11 @@ def render_scene(
     else:
         bg = rng.uniform(0.1, 0.5)
         color[:] = bg + rng.normal(scale=0.05, size=(h, w, 3))
-    shade = np.where(any_obj, 1.0 - 0.5 * (front - front[any_obj].min()), 1.0)
+    if any_obj.any():
+        obj_min = depth[any_obj].min()
+        shade = np.where(any_obj, 1.0 - 0.5 * (depth - obj_min), 1.0)
+    else:
+        shade = np.ones((h, w), np.float32)
     if domain_random:
         # Directional lighting gradient across the image.
         gx = rng.uniform(-0.3, 0.3)
@@ -117,10 +141,11 @@ def render_scene(
             + gy * (np.arange(h)[:, None] / h - 0.5)
         )
         shade = shade * grad
-    for name in chosen:
-        c = class_ids[name]
+    for c in np.unique(label):
+        if c == 0:
+            continue
         sel = label == c
-        base = class_color(c)
+        base = class_color(int(c))
         if domain_random:
             base = np.clip(base + rng.uniform(-0.15, 0.15, size=3), 0.0, 1.0)
         color[sel] = base * shade[sel, None]
@@ -130,8 +155,7 @@ def render_scene(
     if domain_random:
         color = np.clip(color, 1e-3, 1.0) ** rng.uniform(0.7, 1.4, size=3)
     color = np.clip(color, 0.0, 1.0)
-    depth = np.where(any_obj, front, table_depth).astype(np.float32)
-    return (color * 255).astype(np.uint8), label, poses, depth
+    return (color * 255).astype(np.uint8)
 
 
 # Dominant colors (RGB 0-1, most-visible first) of the PUBLIC retail

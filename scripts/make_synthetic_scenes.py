@@ -105,6 +105,7 @@ def main(argv=None):
     from physimglobalpose_tpu.models import assets
     from physimglobalpose_tpu.models.objectdb import _find_mesh
     from physimglobalpose_tpu.ops import raster_tri
+    from physimglobalpose_tpu.utils import synthdata
 
     # Mask class ids from the reference's obj_config.yml (objectdb schema).
     with open(args.obj_config) as fh:
@@ -356,7 +357,17 @@ def main(argv=None):
         from PIL import Image
 
         Image.fromarray(mask).save(os.path.join(sd, "frame-000000.mask.png"))
-        Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(
+        # Real color frame in the training appearance distribution
+        # (synthdata palette + depth shading + noise) so color-consuming
+        # strategies (FCN/RCNN) are evaluable on generator scenes - was an
+        # all-black placeholder through round 4. The hard-family distractor
+        # is mask-background, so it paints as background: an unmodeled bump
+        # visible in depth only.
+        color_rng = np.random.default_rng(args.seed * 100003 + k)
+        color_img = synthdata.colorize_from_label_depth(
+            mask.astype(np.int32), depth, color_rng
+        )
+        Image.fromarray(color_img).save(
             os.path.join(sd, "frame-000000.color.png")
         )
         if stats is not None:
