@@ -390,6 +390,12 @@ def make_train_step(model: nn.Module, tx: optax.GradientTransformation):
     return train_step
 
 
+# Sentinel keys a predictor's output dict may carry alongside the per-class
+# probability maps (negative so they can never collide with class ids).
+PREDICTOR_LABEL_KEY = -1  # argmax class image (fcn.mask.png analogue)
+PREDICTOR_BACKGROUND_KEY = -2  # background channel map (background.png)
+
+
 def make_predictor(model: nn.Module, params, class_ids, input_size=(640, 640),
                    tta_scales=(1.0,)):
     """Build an nn_predictor callable for pipeline/segmentation.py.
@@ -457,7 +463,15 @@ def make_predictor(model: nn.Module, params, class_ids, input_size=(640, 640),
         sel = probs[..., idx]                      # [h, w, k]
         m = jnp.max(sel, axis=(0, 1))              # [k]
         sel = sel / jnp.maximum(m, 1e-20)          # max==0 -> stays all-zero
-        return sel.astype(jnp.float16)
+        # The serving node's other two outputs (predict:103-155): the ARGMAX
+        # class image (frame-000000.fcn.mask.png - what the plain FCN
+        # strategy consumes, Segmentation.cpp:118-131) and the background
+        # channel's map (background.png - the FCNThreshold gate,
+        # Segmentation.cpp:165-175). Both ride the same fetch.
+        label = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        bg = probs[..., 0]
+        bg = bg / jnp.maximum(jnp.max(bg), 1e-20)
+        return sel.astype(jnp.float16), label, bg.astype(jnp.float16)
 
     params_dev = jax.device_put(params)
 
@@ -466,9 +480,15 @@ def make_predictor(model: nn.Module, params, class_ids, input_size=(640, 640),
         if img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
         ids = list(wanted_ids)
-        sel = np.asarray(
-            _run(params_dev, jnp.asarray(img), jnp.asarray(ids, jnp.int32))
-        ).astype(np.float32)
-        return {c: sel[..., i] for i, c in enumerate(ids)}
+        sel, label, bg = _run(
+            params_dev, jnp.asarray(img), jnp.asarray(ids, jnp.int32)
+        )
+        sel = np.asarray(sel).astype(np.float32)
+        out = {c: sel[..., i] for i, c in enumerate(ids)}
+        # Sentinel keys consumed by segmentation.build_prob_images when
+        # present (predictors without them degrade to the derived forms).
+        out[PREDICTOR_LABEL_KEY] = np.asarray(label).astype(np.int32)
+        out[PREDICTOR_BACKGROUND_KEY] = np.asarray(bg).astype(np.float32)
+        return out
 
     return predictor

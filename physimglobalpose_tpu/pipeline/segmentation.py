@@ -54,11 +54,17 @@ def threshold_prob_images(
     background_prob: np.ndarray,
     threshold: float = 0.8,
 ) -> Dict[int, np.ndarray]:
-    """FCNThreshold strategy: zero object probability where the background
-    class is confident (Segmentation.cpp:139-182)."""
+    """FCNThreshold strategy: FLAT 1.0 mask where the class has any
+    probability and the background class is not confident - the reference
+    sets objMask = 1.0, not the soft value (Segmentation.cpp:165-175), so
+    the downstream StoCS prior is uniform inside the mask. (Carrying the
+    max-normalized soft values through instead measurably biased base
+    sampling onto activation hotspots - FCN_POSE_DIAG.json.)"""
     out = {}
     for c, p in prob_maps.items():
-        out[c] = np.where(background_prob < threshold, p, 0.0).astype(np.float32)
+        out[c] = np.where(
+            (p > 0) & (background_prob < threshold), 1.0, 0.0
+        ).astype(np.float32)
     return out
 
 
@@ -146,20 +152,39 @@ def build_prob_images(
         if nn_predictor is None or color is None:
             raise ValueError("FCN segmentation needs a predictor and color image")
         probs = nn_predictor(color, class_ids)
+        # Sentinel outputs of fcn.make_predictor (absent from injected test
+        # predictors, which then use the derived fallbacks below).
+        label = probs.get(-1)  # fcn.PREDICTOR_LABEL_KEY: argmax class image
+        bg = probs.get(-2)  # fcn.PREDICTOR_BACKGROUND_KEY: background map
         if strategy == "FCNThreshold":
             if background_prob is None:
-                # Derive the background map when the predictor doesn't expose
-                # a dedicated background class: bg = 1 - max object prob.
-                stacked = np.stack([probs[c] for c in class_ids])
-                background_prob = 1.0 - stacked.max(axis=0)
-            return threshold_prob_images(probs, background_prob, threshold)
-        # Plain FCN: softmax probs are nonzero everywhere, but the reference
-        # implicitly gates them - compute3dSegment back-projects depth*prob
-        # (Segmentation.cpp:214-219) and the 0.1 m near-clip drops pixels
-        # with prob < ~0.1/depth. We keep depth unscaled (prob rides along
-        # as the StoCS prior), so apply that gate explicitly.
-        return {c: np.where(p >= 0.15, p, 0.0).astype(np.float32)
-                for c, p in probs.items()}
+                if bg is not None:
+                    # The reference gate reads the NET's background channel
+                    # (background.png, Segmentation.cpp:165-175) - the
+                    # derived 1-max form below over-admits badly: per-class
+                    # maps are max-NORMALIZED (predict:107-117 parity), so a
+                    # weakly-activated class still peaks at 1 and pushes the
+                    # derived background under the 0.8 gate almost
+                    # everywhere (measured 71-83% false-positive mask pixels
+                    # on the real frame, FCN_POSE_DIAG.json).
+                    background_prob = bg
+                else:
+                    stacked = np.stack([probs[c] for c in class_ids])
+                    background_prob = 1.0 - stacked.max(axis=0)
+            return threshold_prob_images(
+                {c: probs[c] for c in class_ids}, background_prob, threshold
+            )
+        # Plain FCN: the reference consumes the ARGMAX class image and sets
+        # a FLAT 1.0 mask per object (Segmentation.cpp:118-131) - pixels are
+        # mutually exclusive across classes and the StoCS prior is uniform
+        # inside the mask. (Soft per-class probabilities were measurably
+        # WORSE as a prior: max-normalized maps weighted StoCS bases onto
+        # activation hotspots and broke the thin-object pose on the real
+        # frame - FCN_POSE_DIAG.json fcn_gtsup vs gt_flat.)
+        if label is not None:
+            return {c: (label == c).astype(np.float32) for c in class_ids}
+        return {c: np.where(probs[c] >= 0.15, 1.0, 0.0).astype(np.float32)
+                for c in class_ids}
     if strategy in ("RCNN", "RCNNThreshold"):
         if detector is None or color is None:
             raise ValueError("RCNN segmentation needs a detector and color image")

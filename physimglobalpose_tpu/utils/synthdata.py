@@ -404,7 +404,14 @@ def render_scene_transfer(
     # Real sensors run dark and washed out relative to nominal product
     # colors (the bundled real frame's products measure 0.3-0.5 mean
     # luminance with muted chroma), so exposure spans underexposed and the
-    # chroma axis gets an independent wash toward gray.
+    # chroma axis gets an independent wash toward gray. These ranges are the
+    # ones behind the SHIPPED prior checkpoint; two round-5 attempts to
+    # widen them toward the real frame's measured desaturation (the expo
+    # eraser reads B-R chroma ~0.2x its navy prior) were measured strictly
+    # WORSE on real-frame transfer - uniform 0.2-1.1 wash: argmax mIoU
+    # 0.261; 25%-hard-wash mixture: 0.323; shipped 0.469 - harder appearance
+    # draws drown the color signal rather than teaching shape keying at this
+    # model scale (ROUND5_NOTES item 10).
     color *= rng.uniform(0.45, 1.25)
     lum_px = color.mean(-1, keepdims=True)
     color = lum_px + (color - lum_px) * rng.uniform(0.55, 1.1)

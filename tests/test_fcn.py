@@ -47,7 +47,15 @@ def test_predictor_interface():
     pred = fcn.make_predictor(model, params, [1, 2], input_size=(32, 32))
     color = np.zeros((24, 28, 3), np.uint8)
     out = pred(color, [1, 2])
-    assert set(out) == {1, 2}
-    for p in out.values():
+    # Per-class maps for the wanted ids + the serving node's two sentinel
+    # outputs: the argmax class image and the background-channel map
+    # (predict:103-155 parity; Segmentation.cpp consumes all three).
+    assert set(out) == {1, 2, fcn.PREDICTOR_LABEL_KEY,
+                        fcn.PREDICTOR_BACKGROUND_KEY}
+    label = out[fcn.PREDICTOR_LABEL_KEY]
+    assert label.shape == (24, 28) and label.dtype == np.int32
+    assert label.min() >= 0 and label.max() <= 3
+    for c in (1, 2, fcn.PREDICTOR_BACKGROUND_KEY):
+        p = out[c]
         assert p.shape == (24, 28)
         assert 0 <= p.min() and p.max() <= 1.0 + 1e-5
