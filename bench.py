@@ -58,6 +58,11 @@ def prod_flags(on_tpu: bool) -> dict:
         fine_exact_k=64,
         fine_seg_stride=4 if on_tpu else 1,
         icp_precision="default" if on_tpu else None,
+        # Exact rescore tier at high3 (3-pass bf16 hi/lo split) instead of
+        # f32 HIGHEST (6 passes): measured r5 (scripts/r5_perf_probe.py)
+        # 16.5 -> 14.2 ms/batch at pipe=8, top-25 exact-score diff <= 7e-5
+        # (vs the 0.002 gate) and top-1 drift 0.10 mm (vs 2 mm).
+        exact_precision="high3" if on_tpu else None,
     )
 
 
@@ -239,7 +244,7 @@ def main():
             {
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
-                "unit": f"hyp/s (coarse-LCP@256/seg4 -> ICP-{ICP_ITERS}it@512 top-256 -> fine-LCP@4k/seg4+exact64, H=16384 x{pipe} pipelined, {variant})",
+                "unit": f"hyp/s (coarse-LCP@256/seg4 -> ICP-{ICP_ITERS}it@512 top-256 -> fine-LCP@4k/seg4+exact64@high3, H=16384 x{pipe} pipelined, {variant})",
                 "vs_baseline": round(hyps_per_sec / baseline_hyps_per_sec(clutter), 2),
             }
         )

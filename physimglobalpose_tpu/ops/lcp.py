@@ -383,6 +383,7 @@ def lcp_scores(
     weighted: bool = True,
     use_pallas: bool | None = None,
     matmul_precision: str | None = None,
+    hb_lane_pack: bool | None = None,
 ):
     """Dispatch: Pallas on TPU, XLA elsewhere.
 
@@ -395,11 +396,10 @@ def lcp_scores(
     kw = {}
     if use_pallas:
         kw["matmul_precision"] = matmul_precision
-        fn = (
-            lcp_scores_pallas_segside
-            if seg_pts.shape[0] <= 2048
-            else lcp_scores_pallas
-        )
+        segside = seg_pts.shape[0] <= 2048
+        if segside and hb_lane_pack is not None:
+            kw["hb_lane_pack"] = hb_lane_pack
+        fn = lcp_scores_pallas_segside if segside else lcp_scores_pallas
     else:
         fn = lcp_scores_xla
     return fn(
@@ -551,8 +551,9 @@ def _lcp_kernel_segside_hb(
     weighted: bool,
     total_nv: int,
     precision=None,
+    model_tiled: bool = False,
 ):
-    """Hypothesis-batched segment-stationary kernel (small models only).
+    """Hypothesis-batched segment-stationary kernel.
 
     The per-hypothesis [Ns, 128] @ [128, nvp] matmul of _lcp_kernel_segside
     is tiny at coarse shapes (nvp=256): MXU launch latency and the b-build
@@ -563,6 +564,12 @@ def _lcp_kernel_segside_hb(
     issues ONE wide matmul, and the per-hypothesis work that remains is pure
     VPU row math. Reductions stay lane-major: min down the segment (sublane)
     axis, then per-hypothesis static lane-chunk sums.
+
+    model_tiled=True generalizes to models wider than the lane budget: the
+    grid grows a second dimension streaming model tiles of nvp lanes, each
+    program scores its HB hypotheses against ONE shared model tile (still a
+    single wide matmul) and partial scores accumulate into the revisited
+    output block - the lane-packed analogue of _lcp_kernel_segside's tiling.
     """
     hb = tr_ref.shape[0]
     nvp = modelT_ref.shape[1]
@@ -631,14 +638,20 @@ def _lcp_kernel_segside_hb(
     else:
         contrib = within_f
 
+    j = pl.program_id(1) if model_tiled else 0
     for hi in range(hb):
         partial = jnp.sum(contrib[:, hi * nvp : (hi + 1) * nvp]) / total_nv
-        out_ref[pl.ds(hi, 1), :] = jnp.full((1, 128), partial, jnp.float32)
+        row = jnp.full((1, 128), partial, jnp.float32)
+        if model_tiled:
+            prev = out_ref[pl.ds(hi, 1), :]
+            row = jnp.where(j == 0, row, prev + row)
+        out_ref[pl.ds(hi, 1), :] = row
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("delta", "normal_gate_deg", "weighted", "matmul_precision"),
+    static_argnames=("delta", "normal_gate_deg", "weighted", "matmul_precision",
+                     "hb_lane_pack"),
 )
 def lcp_scores_pallas_segside(
     transforms: jnp.ndarray,
@@ -652,6 +665,11 @@ def lcp_scores_pallas_segside(
     normal_gate_deg: float = 30.0,
     weighted: bool = True,
     matmul_precision: str | None = None,
+    # None = auto (HB wide-matmul path only when 8 whole model tiles fit the
+    # lane budget - the coarse shape). True = force the generalized
+    # model-tiled HB path at any shape (grid streams model tiles, each
+    # program still issues one wide matmul). False = per-hypothesis kernel.
+    hb_lane_pack: bool | None = None,
 ) -> jnp.ndarray:
     """Segment-stationary Pallas kernel (see _lcp_kernel_segside).
 
@@ -689,6 +707,19 @@ def lcp_scores_pallas_segside(
     # MXU-launch + b-build overhead dominated the per-hypothesis formulation.
     nvp128 = nv + ((-nv) % 128)
     hyp_batched = nvp128 * h_tile <= budget_lanes
+    # Generalized (model-tiled) HB: pack h_tile hypotheses per program with a
+    # SHARED model tile of budget_lanes/h_tile lanes streaming via a second
+    # grid dimension. Needs at least one 128-lane tile per hypothesis within
+    # the budget (large segments shrink it below that - fall through).
+    hb_tiled = False
+    if hb_lane_pack and not hyp_batched:
+        hb_nv_tile = (budget_lanes // h_tile) // 128 * 128
+        if hb_nv_tile >= 128:
+            hb_tiled = True
+            nv_tile = min(nvp128, hb_nv_tile)
+            pad_nv = (-nv) % nv_tile
+    if hb_lane_pack is False:
+        hyp_batched = False
 
     tr16 = jnp.concatenate(
         [transforms, jnp.broadcast_to(jnp.eye(4), (pad_h, 4, 4))], axis=0
@@ -741,6 +772,35 @@ def lcp_scores_pallas_segside(
             ],
             out_specs=pl.BlockSpec(
                 (h_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        )(tr, modelT, segcat)
+        return out[:h, 0]
+
+    if hb_tiled:
+        out = pl.pallas_call(
+            functools.partial(
+                _lcp_kernel_segside_hb,
+                delta=delta,
+                cos_gate=math.cos(math.radians(normal_gate_deg)),
+                weighted=weighted,
+                total_nv=nv,
+                precision=(jax.lax.Precision.HIGHEST
+                           if matmul_precision == "high3"
+                           else _PRECISIONS[matmul_precision]),
+                model_tiled=True,
+            ),
+            out_shape=jax.ShapeDtypeStruct((h + pad_h, 128), jnp.float32),
+            grid=((h + pad_h) // h_tile, (nv + pad_nv) // nv_tile),
+            in_specs=[
+                pl.BlockSpec((h_tile, 128), lambda i, j: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((128, nv_tile), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ns + pad_ns, 128), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (h_tile, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             ),
         )(tr, modelT, segcat)
         return out[:h, 0]

@@ -41,6 +41,7 @@ class ScoredHypotheses(NamedTuple):
         "coarse_precision", "fine_precision", "coarse_weighted",
         "fine_exact_k", "icp_precision", "coarse_seg_stride",
         "icp_seg_stride", "fine_seg_stride", "coarse_topk_approx",
+        "exact_precision", "fine_hb_lane_pack",
     ),
 )
 def score_refine_pipeline(
@@ -89,6 +90,11 @@ def score_refine_pipeline(
     # match threshold - fp32-grade for LCP; gated on-chip at the production
     # flags by tests/test_tpu_bf16.py).
     exact_precision: str | None = None,
+    # Force (True) / forbid (False) the lane-packed hypothesis-batched
+    # kernel layout for the BULK fine tier (ops/lcp.py hb_lane_pack). None =
+    # the kernel's own auto rule (HB only when 8 whole model tiles fit the
+    # lane budget - never at the fine tier's nv=4096).
+    fine_hb_lane_pack: bool | None = None,
     # Select the coarse top-k with jax.lax.approx_max_k (TPU PartialReduce;
     # much cheaper than the exact sort over H=16384) instead of lax.top_k.
     # The coarse gate is already approximate by design (bf16, strided,
@@ -181,6 +187,7 @@ def score_refine_pipeline(
         delta=delta, normal_gate_deg=normal_gate_deg,
         weighted=True, use_pallas=use_pallas,
         matmul_precision=fine_precision,
+        hb_lane_pack=fine_hb_lane_pack,
     )
     if exact_tier:
         # Two-tier fine: the bulk rescoring ran at lowered matmul precision

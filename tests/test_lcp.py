@@ -216,3 +216,62 @@ def test_segside_interpret_matches_xla(rng):
         )
     np.testing.assert_allclose(got, want, atol=1e-4)
     np.testing.assert_allclose(got_u, want_u, atol=1e-4)
+
+
+def test_segside_hb_tiled_interpret_matches_xla(rng):
+    # The generalized model-tiled hypothesis-batched path (hb_lane_pack=True
+    # at a shape where the single-tile HB cannot trigger): model wider than
+    # the lane budget streams as shared tiles through the second grid
+    # dimension, partial scores accumulating per hypothesis.
+    import functools
+    from unittest import mock
+
+    model, mn, seg_pts, seg_nrm, seg_prob, pose = make_scene(
+        rng, n_model=2048, n_seg=768
+    )
+    mask = np.ones(len(seg_pts), bool)
+    mask[-16:] = False
+    tfs = np.tile(np.eye(4, dtype=np.float32), (10, 1, 1))
+    tfs[0] = pose
+    for i in range(1, 10):
+        tfs[i] = pose
+        tfs[i, :3, 3] += np.random.default_rng(i).normal(scale=0.01, size=3)
+    args = (
+        jnp.asarray(tfs),
+        jnp.asarray(model), jnp.asarray(mn), jnp.asarray(seg_pts),
+        jnp.asarray(seg_nrm), jnp.asarray(seg_prob), jnp.asarray(mask),
+    )
+    want = np.asarray(lcp.lcp_scores_xla(*args))
+    want_u = np.asarray(lcp.lcp_scores_xla(*args, weighted=False))
+    from jax.experimental import pallas as pl
+
+    orig_call = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig_call, interpret=True)):
+        got = np.asarray(
+            lcp.lcp_scores_pallas_segside.__wrapped__(*args, hb_lane_pack=True)
+        )
+        got_u = np.asarray(
+            lcp.lcp_scores_pallas_segside.__wrapped__(
+                *args, weighted=False, hb_lane_pack=True
+            )
+        )
+        ph = np.asarray(
+            lcp.lcp_scores_pallas_segside.__wrapped__(*args, hb_lane_pack=False)
+        )
+        ph_u = np.asarray(
+            lcp.lcp_scores_pallas_segside.__wrapped__(
+                *args, weighted=False, hb_lane_pack=False
+            )
+        )
+    # The HB lane packing is a pure re-layout of the per-hypothesis kernel:
+    # the unweighted count (integer sums in f32) is bit-identical; the
+    # weighted sum reassociates across the different tile groupings, so low
+    # bits may differ.
+    np.testing.assert_array_equal(got_u, ph_u)
+    np.testing.assert_allclose(got, ph, atol=1e-6)
+    # vs XLA: the segside kernels center coordinates at the segment centroid,
+    # which re-rounds boundary points (a point exactly at delta can flip by
+    # ~1e-7) - allow a couple of points; weighted additionally has the
+    # documented max-prob tie-break (see test_segside_tiled_*).
+    np.testing.assert_allclose(got_u, want_u, atol=2.0 / 2048)
+    np.testing.assert_allclose(got, want, atol=2.0 / 2048)
