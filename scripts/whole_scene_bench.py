@@ -202,10 +202,12 @@ def main():
         # production --fcn-tta path: multi-scale prob averaging fused into
         # ONE device program (fcn.make_predictor tta_scales), so its latency
         # delta vs the plain prior row IS the TTA cost.
-        timed_variants = [("small", "small", (1.0,)), ("full", "full", (1.0,))]
+        timed_variants = [("small", "small", (1.0,))]
         if os.path.exists(fcn_mod.shipped_checkpoint_path("prior")):
             timed_variants.append(("prior", "prior", (1.0,)))
             timed_variants.append(("prior_tta", "prior", (0.5, 0.75, 1.0)))
+        # ("full", "full", (1.0,)) retired r5: 134 M params at real-frame
+        # mIoU 0.024 (VERDICT r4 #9) - checkpoint no longer shipped.
         for variant_label, variant, tta_scales in timed_variants:
             pred = fcn_mod.load_shipped_predictor(
                 variant=variant, tta_scales=tta_scales)
