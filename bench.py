@@ -63,6 +63,14 @@ def prod_flags(on_tpu: bool) -> dict:
         # 16.5 -> 14.2 ms/batch at pipe=8, top-25 exact-score diff <= 7e-5
         # (vs the 0.002 gate) and top-1 drift 0.10 mm (vs 2 mm).
         exact_precision="high3" if on_tpu else None,
+        # ICP correspondences from every 2nd segment point: r3 measured
+        # +4.6% and declined when ICP was ~18% of the batch; after high3 it
+        # is the largest remaining stage (~29%), re-measured r5
+        # (scripts/r5_icp_stride_probe.py) 12.85 -> 11.77 ms/batch with
+        # top-1 drift 0.32 mm easy / 1.33 mm clutter (gate 2 mm) and both
+        # fidelity gates green. The solve is a robust least squares over
+        # ~1k points; 512 still overdetermine the 6-DoF update.
+        icp_seg_stride=2 if on_tpu else 1,
     )
 
 
@@ -244,7 +252,7 @@ def main():
             {
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
-                "unit": f"hyp/s (coarse-LCP@256/seg4 -> ICP-{ICP_ITERS}it@512 top-256 -> fine-LCP@4k/seg4+exact64@high3, H=16384 x{pipe} pipelined, {variant})",
+                "unit": f"hyp/s (coarse-LCP@256/seg4 -> ICP-{ICP_ITERS}it@512/seg2 top-256 -> fine-LCP@4k/seg4+exact64@high3, H=16384 x{pipe} pipelined, {variant})",
                 "vs_baseline": round(hyps_per_sec / baseline_hyps_per_sec(clutter), 2),
             }
         )
