@@ -42,7 +42,8 @@ H = 16384  # hypotheses per batch
 NV = 4096  # dense validation cloud (max_validation_points)
 NM = 1024  # sparse ICP model cloud (max_model_points)
 NS = 1024  # segment size (max_segment_points)
-ICP_ITERS = 6
+ICP_ITERS = 6  # EXACT-reference pipeline iterations (the fidelity yardstick)
+PROD_ICP_ITERS = 4  # production budget (r5 probe, gated vs the 6-iter exact)
 
 
 def prod_flags(on_tpu: bool) -> dict:
@@ -50,12 +51,22 @@ def prod_flags(on_tpu: bool) -> dict:
     the fidelity gate - see score_step's rationale comments)."""
     return dict(
         top_k=256, coarse_subsample=16, coarse_seg_stride=4,
-        icp_iters=ICP_ITERS, icp_subsample=2,
+        # 4 ICP iterations against the exact pipeline's 6 (the gate keeps
+        # comparing to the 6-iter exact reference): measured r5
+        # (scripts/r5_stage_budget_probe.py) -0.74 ms/batch, top-1 drift vs
+        # prod-6it 0.0025 mm, all fidelity gates PASS on both workloads.
+        icp_iters=PROD_ICP_ITERS if on_tpu else ICP_ITERS, icp_subsample=2,
         use_pallas=on_tpu,
         coarse_precision="default" if on_tpu else None,
         icp_nn_refresh=2, coarse_weighted=False,
         fine_precision="default" if on_tpu else None,
-        fine_exact_k=64,
+        # Exact-rescore budget 32 (the product consumes the top-25 poses,
+        # matching the reference's ~100-verified/25-consumed budget): r5
+        # probe measured -1.2 ms/batch vs 64 with top-25 exact-score diff
+        # 2.5e-4 (gate 0.002) and ZERO top-1 drift; gates PASS both
+        # workloads. Combined with icp_iters=4: 13.43 -> 10.50 ms/batch at
+        # pipe=8.
+        fine_exact_k=32 if on_tpu else 64,
         fine_seg_stride=4 if on_tpu else 1,
         icp_precision="default" if on_tpu else None,
         # Exact rescore tier at high3 (3-pass bf16 hi/lo split) instead of
@@ -252,7 +263,7 @@ def main():
             {
                 "metric": "hypotheses_scored_per_sec_per_chip",
                 "value": round(hyps_per_sec, 1),
-                "unit": f"hyp/s (coarse-LCP@256/seg4 -> ICP-{ICP_ITERS}it@512/seg2 top-256 -> fine-LCP@4k/seg4+exact64@high3, H=16384 x{pipe} pipelined, {variant})",
+                "unit": f"hyp/s (coarse-LCP@256/seg4 -> ICP-{PROD_ICP_ITERS}it@512/seg2 top-256 -> fine-LCP@4k/seg4+exact32@high3, H=16384 x{pipe} pipelined, {variant})",
                 "vs_baseline": round(hyps_per_sec / baseline_hyps_per_sec(clutter), 2),
             }
         )

@@ -83,7 +83,8 @@ def read_prob_png(path: str) -> np.ndarray:
 
 
 def write_prob_png(path: str, prob: np.ndarray) -> None:
-    Image.fromarray((prob * DEPTH_SCALE).astype(np.uint16), mode="I;16").save(path)
+    # Pillow infers I;16 from the uint16 dtype (the mode= kwarg is deprecated).
+    Image.fromarray((prob * DEPTH_SCALE).astype(np.uint16)).save(path)
 
 
 def read_class_mask_png(path: str) -> np.ndarray:

@@ -150,7 +150,7 @@ def test_final_polish_descends_render_cost(setup):  # noqa: F811
     polished, cost = mcts._final_polish(ev, start, np.ones(1, bool), cfg, seed=0)
     start_cost = float(np.asarray(mcts._poses_cost_jit(
         ev.consts_full, cfg, ev.h, ev.w, ev.splat_radius,
-        jnp.asarray(start[None]), jnp.ones(1, bool))))
+        jnp.asarray(start[None]), jnp.ones(1, bool))).ravel()[0])
     assert cost <= start_cost
     err0 = np.linalg.norm(start[0][:3, 3] - true_pose[:3, 3])
     err1 = np.linalg.norm(polished[0][:3, 3] - true_pose[:3, 3])
