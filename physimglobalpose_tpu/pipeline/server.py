@@ -34,18 +34,24 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def warmup(db, cfg, verification_mode: str = "LCP") -> float:
+def warmup(db, cfg, verification_mode: str = "LCP"):
     """Compile the serving path at BOOT instead of on the first request.
 
-    Runs one estimate_pose on a synthetic in-memory scene with the
+    Runs estimate_pose TWICE on a synthetic in-memory scene with the
     production static shapes (resolution/segment/model sizes are the only
     compile keys - pixel content is irrelevant), so every jit in the request
     path is built (or loaded from the persistent compile cache, see
     JAX_COMPILATION_CACHE_DIR in serve()) before the server accepts traffic.
+    The second pass hits the in-process jit cache, so pass1 - pass2 isolates
+    the compile/cache-load share of the warmup from steady-state execution -
+    the number the persistent compile cache can actually cut across boots
+    (measured r5: on the axon tunnel backend end-to-end boot time is
+    dominated by remote-side/tunnel variance instead, see
+    SERVER_LOADTEST.json tpu.warm_boots).
     The reference's ROS node pays its Caffe/GL warmup on the first service
     call instead (predict:59, main.cpp:210-212); measured here a cold axon
     TPU boot was 543 s of first-request latency (SERVER_LOADTEST.json r4) -
-    unacceptable to serve. Returns the warmup wall seconds.
+    unacceptable to serve. Returns (total_s, compile_s, run_s).
     """
     import time
 
@@ -78,10 +84,19 @@ def warmup(db, cfg, verification_mode: str = "LCP") -> float:
         verification_mode=verification_mode, cfg=cfg, scene=sc,
         write_result=False,
     )
-    return time.monotonic() - t0
+    t1 = time.monotonic()
+    api.estimate_pose(
+        "<warmup>", db, segmentation_mode="GT",
+        verification_mode=verification_mode, cfg=cfg, scene=sc,
+        write_result=False,
+    )
+    t2 = time.monotonic()
+    run_s = t2 - t1
+    return t2 - t0, max(0.0, (t1 - t0) - run_s), run_s
 
 
-def make_handler(db, default_cfg, max_queue: int = 4, warm_s: float = 0.0):
+def make_handler(db, default_cfg, max_queue: int = 4, warm_s: float = 0.0,
+                 warm_compile_s: float = 0.0):
     import time
 
     from physimglobalpose_tpu.pipeline import api
@@ -109,6 +124,7 @@ def make_handler(db, default_cfg, max_queue: int = 4, warm_s: float = 0.0):
                     "ok": True, "objects": db.names,
                     "queue_depth": depth, "ema_latency_s": round(ema, 3),
                     "warmup_s": round(warm_s, 2),
+                    "warmup_compile_s": round(warm_compile_s, 2),
                 })
             else:
                 self._reply(404, {"error": "unknown path"})
@@ -201,11 +217,14 @@ def serve(db, cfg, port: int = 8080, host: str = "127.0.0.1",
         import jax
 
         jax.config.update("jax_compilation_cache_dir", compile_cache_dir)
-    warm_s = warmup(db, cfg) if warm else 0.0
+    total_s, compile_s, run_s = warmup(db, cfg) if warm else (0.0, 0.0, 0.0)
     server = ThreadingHTTPServer(
-        (host, port), make_handler(db, cfg, max_queue=max_queue, warm_s=warm_s)
+        (host, port), make_handler(db, cfg, max_queue=max_queue,
+                                   warm_s=total_s, warm_compile_s=compile_s)
     )
-    server.warmup_s = warm_s
+    server.warmup_s = total_s
+    server.warmup_compile_s = compile_s
+    server.warmup_run_s = run_s
     return server
 
 

@@ -54,7 +54,11 @@ def _warm_boot(args) -> int:
     )
     srv = server_mod.serve(db, SMALL_CFG, port=0, warm=True,
                            compile_cache_dir=args.compile_cache_dir)
-    print(json.dumps({"warmup_s": round(srv.warmup_s, 2)}))
+    print(json.dumps({
+        "warmup_s": round(srv.warmup_s, 2),
+        "warmup_compile_s": round(srv.warmup_compile_s, 2),
+        "warmup_run_s": round(srv.warmup_run_s, 2),
+    }))
     return 0
 
 
@@ -78,15 +82,24 @@ def _measure_boots(args) -> dict:
             raise RuntimeError(
                 f"warm boot {i} failed: {proc.stdout[-500:]} {proc.stderr[-500:]}"
             )
-        warm = json.loads(proc.stdout.strip().splitlines()[-1])["warmup_s"]
-        out[f"boot{i}"] = {
-            "warmup_s": warm,
-            "process_wall_s": round(time.monotonic() - t0, 2),
-        }
-        print(f"boot {i}: warmup {warm:.1f} s", flush=True)
+        warm = json.loads(proc.stdout.strip().splitlines()[-1])
+        out[f"boot{i}"] = dict(
+            warm, process_wall_s=round(time.monotonic() - t0, 2),
+        )
+        print(f"boot {i}: warmup {warm['warmup_s']:.1f} s "
+              f"(compile {warm.get('warmup_compile_s', 0.0):.1f} s)",
+              flush=True)
     out["speedup"] = round(
         out["boot1"]["warmup_s"] / max(out["boot2"]["warmup_s"], 1e-6), 1
     )
+    # The number the persistent cache can actually cut: the compile/cache-
+    # load share of the warmup (warmup() isolates it by timing a second,
+    # jit-cache-hot pass). End-to-end warmup_s also carries steady-state
+    # execution (and, on the axon tunnel backend, remote-side variance that
+    # dwarfs everything - see the artifact note).
+    c1 = out["boot1"].get("warmup_compile_s", 0.0)
+    c2 = out["boot2"].get("warmup_compile_s", 0.0)
+    out["compile_speedup"] = round(c1 / max(c2, 1e-6), 1)
     return out
 
 

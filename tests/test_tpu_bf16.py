@@ -67,7 +67,7 @@ def test_bf16_production_path_ranking_fidelity(clutter):
     # a hypothesis 9 coarse-points above the cutoff can drop while the
     # final answer moves <0.5 mm). There the gate is the OUTCOME: both
     # pipelines rescore their winner at full resolution in exact f32
-    # (fine_exact_k=64 for prod), so the winners' scores are directly
+    # (fine_exact_k=32 for prod), so the winners' scores are directly
     # comparable - the production winner must tie the exact pipeline's
     # winner (measured gap 0.0003 of a ~0.2 score) and land within 2 mm.
     if clutter:
